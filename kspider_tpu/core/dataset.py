@@ -1,0 +1,139 @@
+"""Directory-level index builds: sourmash sig dirs and .bin dirs.
+
+Mirrors the entry points of the reference:
+
+- ``sourmash_sigs_indexing(dir, k)`` (/root/reference/src/sourmash_indexing.cpp:52-350)
+- ``bins_indexing(dir, k, prefix, ...)`` (/root/reference/src/bins_indexing.cpp:70-290)
+- ``index_datasets(dir)`` over .phmap/.mqf sketch files
+  (/root/reference/src/index.cpp:84-409)
+
+All three feed the same sort-based color build
+(:func:`kspider_tpu.core.index.build_index_from_hash_sets`) and emit the
+same five artifacts.  Note the reference's bins path diverges (it saves a
+colored_kDataFrame instead of the pairwise-ready artifacts); this rebuild
+unifies the output format so every index path is pairwise-ready.
+"""
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from kspider_tpu.core.constants import HashingMode, SlicingMode
+from kspider_tpu.core.index import ColorIndex, build_index_from_hash_sets
+from kspider_tpu.io import artifacts as artifacts_io
+from kspider_tpu.io import phmap as phmap_io
+from kspider_tpu.io import sigs as sigs_io
+from kspider_tpu.utils.logger import Logger
+
+
+def dir_prefix_of(path: str) -> str:
+    """Reference prefix rule: trailing slashes stripped, then basename
+    (/root/reference/src/sourmash_indexing.cpp:55-61)."""
+    p = str(path)
+    while p.endswith("/"):
+        p = p[:-1]
+    return os.path.basename(p)
+
+
+def index_sigs_dir(
+    sigs_dir: str,
+    ksize: int,
+    output_prefix: Optional[str] = None,
+    logger: Optional[Logger] = None,
+    write_artifacts: bool = True,
+) -> ColorIndex:
+    """Index every ``.sig`` in a directory at the given k.
+
+    Replicates the reference's two-pass semantics (group ids are assigned
+    over ``.sig`` *and* ``.gz`` entries in sorted order, but only ``.sig``
+    files are ingested) and its per-group k-mer count (raw ``mins`` length
+    of the first ksize-matching signature entry).
+    """
+    log = logger or Logger(quiet=True)
+    pass1, pass2 = sigs_io.scan_sigs_dir(sigs_dir)
+    if not pass1:
+        raise FileNotFoundError(f"no signature files found in {sigs_dir}")
+
+    names: List[str] = []
+    name_to_gid = {}
+    for p in pass1:
+        base = sigs_io.sig_basename(p)
+        if base not in name_to_gid:
+            name_to_gid[base] = len(names)
+            names.append(base)
+
+    hash_arrays: List[Optional[np.ndarray]] = [None] * len(names)
+    kmer_counts: List[Optional[int]] = [None] * len(names)
+    for i, p in enumerate(pass2):
+        base = sigs_io.sig_basename(p)
+        gid = name_to_gid[base]
+        mins = sigs_io.load_sig_mins(p, ksize)
+        if mins is None:
+            log.WARNING(f"{p}: no signature entry with ksize={ksize}; skipped")
+            continue
+        log.INFO(f"Processing {i + 1}/{len(pass2)} | {base} k:{ksize}")
+        hash_arrays[gid] = mins
+        kmer_counts[gid] = len(mins)
+
+    index = build_index_from_hash_sets(
+        names,
+        hash_arrays,
+        kmer_counts=kmer_counts,
+        ksize=ksize,
+        hash_mode=int(HashingMode.mumur_hasher),
+        slicing_mode=int(SlicingMode.KMERS),
+        params=f"kSize:{ksize}",
+    )
+    if write_artifacts:
+        prefix = output_prefix if output_prefix else dir_prefix_of(sigs_dir)
+        artifacts_io.write_index_artifacts(prefix, index)
+    return index
+
+
+def index_bins_dir(
+    bins_dir: str,
+    ksize: int,
+    output_prefix: Optional[str] = None,
+    logger: Optional[Logger] = None,
+    write_artifacts: bool = True,
+) -> ColorIndex:
+    """Index every ``.bin`` (phmap hash-set dump) in a directory.
+
+    Reference: /root/reference/src/bins_indexing.cpp:98-272 (which warns and
+    skips non-.bin files).  Unlike the reference, the output is the standard
+    five pairwise-ready artifacts.
+    """
+    log = logger or Logger(quiet=True)
+    entries = sorted(os.path.join(bins_dir, e) for e in os.listdir(bins_dir))
+    names: List[str] = []
+    paths: List[str] = []
+    for p in entries:
+        if not os.path.isfile(p):
+            continue
+        if not p.endswith(".bin"):
+            log.WARNING(f"skipping {p} does not have extension .bin")
+            continue
+        names.append(sigs_io.sig_basename(p))
+        paths.append(p)
+    if not names:
+        raise FileNotFoundError(f"no .bin files found in {bins_dir}")
+
+    hash_arrays: List[Optional[np.ndarray]] = []
+    for i, p in enumerate(paths):
+        hashes = phmap_io.read_hash_set(p)
+        log.INFO(f"Processing {i + 1}/{len(paths)} | {names[i]} ({len(hashes)} kmers)")
+        hash_arrays.append(hashes)
+
+    index = build_index_from_hash_sets(
+        names,
+        hash_arrays,
+        ksize=ksize,
+        hash_mode=int(HashingMode.mumur_hasher),
+        slicing_mode=int(SlicingMode.KMERS),
+        params=f"kSize:{ksize}",
+    )
+    if write_artifacts:
+        prefix = output_prefix if output_prefix else dir_prefix_of(bins_dir)
+        artifacts_io.write_index_artifacts(prefix, index)
+    return index

@@ -1,0 +1,100 @@
+"""Connected components on device: pointer-jumping label propagation.
+
+Replaces the reference's ``rustworkx.connected_components`` call
+(/root/reference/pykSpider/kSpider2/ks_clustering.py:120) with an
+XLA-compiled iterative algorithm:
+
+  1. every node starts with its own label (its index);
+  2. each round, every edge propagates the smaller endpoint label to the
+     larger endpoint via ``scatter-min``;
+  3. pointer jumping (``labels = labels[labels]``) doubles the propagation
+     distance per round;
+  4. stop when a round changes nothing (``lax.while_loop``).
+
+Converges in O(log n) rounds on any graph; all steps are gathers/scatters
+the TPU executes natively, with no host round-trips inside the loop.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _cc_labels(src, dst, n_arr):
+    n = n_arr.shape[0]
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+
+    def round_fn(labels):
+        ls = labels[src]
+        ld = labels[dst]
+        m = jnp.minimum(ls, ld)
+        labels = labels.at[src].min(m)
+        labels = labels.at[dst].min(m)
+        # pointer jumping: path-halve twice per round
+        labels = labels[labels]
+        labels = labels[labels]
+        return labels
+
+    def cond(state):
+        prev, cur = state
+        return jnp.any(prev != cur)
+
+    def body(state):
+        _, cur = state
+        return cur, round_fn(cur)
+
+    _, final = jax.lax.while_loop(cond, body, (labels0 - 1, labels0))
+    # final canonical pass so every node points at its component min
+    final = final[final]
+    return final
+
+
+def connected_components(
+    edges_src: np.ndarray, edges_dst: np.ndarray, n: int
+) -> np.ndarray:
+    """Labels (int32, length n): each node's component representative
+    (the minimum node index in its component)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    if len(edges_src) == 0:
+        return np.arange(n, dtype=np.int32)
+    src = jnp.asarray(edges_src, dtype=jnp.int32)
+    dst = jnp.asarray(edges_dst, dtype=jnp.int32)
+    labels = _cc_labels(src, dst, jnp.zeros(n, dtype=jnp.int8))
+    return np.asarray(labels)
+
+
+def connected_components_scipy(
+    edges_src: np.ndarray, edges_dst: np.ndarray, n: int
+) -> np.ndarray:
+    """Host fallback/cross-check via scipy.sparse.csgraph."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components as _cc
+
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    g = sp.coo_matrix(
+        (np.ones(len(edges_src), dtype=np.int8), (edges_src, edges_dst)),
+        shape=(n, n),
+    )
+    _, raw = _cc(g, directed=False)
+    # canonicalize: representative = min node index per component
+    reps = np.full(raw.max() + 1, n, dtype=np.int64)
+    np.minimum.at(reps, raw, np.arange(n))
+    return reps[raw].astype(np.int32)
+
+
+def labels_to_clusters(labels: np.ndarray):
+    """Group node indices by label -> list of ascending-index components,
+    ordered by their smallest node index."""
+    order = np.lexsort((np.arange(len(labels)), labels))
+    sorted_labels = labels[order]
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], sorted_labels[1:] != sorted_labels[:-1]))
+    )
+    comps = np.split(order, boundaries[1:])
+    comps.sort(key=lambda c: c[0])
+    return comps

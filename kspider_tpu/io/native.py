@@ -1,0 +1,164 @@
+"""ctypes bindings to the native runtime (native/libkspider_native.so).
+
+Provides the host-side fast paths: streaming FASTA/FASTQ sketching, phmap
+.bin IO, batch hashing, and the OpenMP pairwise engine used as the bench
+baseline.  Every entry point has a pure-Python fallback elsewhere in the
+package; ``available()`` gates usage.  The library is built on demand with
+``make -C native`` (g++ is part of the supported environment).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libkspider_native.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_attempted = False
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_attempted
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+            _build_attempted = True
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.ks_free.argtypes = [ctypes.c_void_p]
+        lib.ks_murmur64_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, u64p,
+        ]
+        lib.ks_integer_hash_batch.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_int, u64p,
+        ]
+        lib.ks_sketch_file.restype = ctypes.c_int
+        lib.ks_sketch_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(u64p), ctypes.POINTER(ctypes.c_int64),
+            u64p, u64p,
+        ]
+        lib.ks_write_bin.restype = ctypes.c_int
+        lib.ks_write_bin.argtypes = [ctypes.c_char_p, u64p, ctypes.c_int64]
+        lib.ks_read_bin.restype = ctypes.c_int
+        lib.ks_read_bin.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(u64p), ctypes.POINTER(ctypes.c_int64)
+        ]
+        lib.ks_pairwise_dense.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ks_omp_max_threads.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def _as_u64p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def murmur64_batch(rows: np.ndarray, seed: int = 42) -> np.ndarray:
+    lib = _try_load()
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    n, length = rows.shape
+    out = np.empty(n, dtype=np.uint64)
+    lib.ks_murmur64_batch(
+        rows.ctypes.data_as(ctypes.c_char_p),
+        n,
+        length,
+        ctypes.c_uint64(seed),
+        _as_u64p(out),
+    )
+    return out
+
+
+def sketch_file(path: str, ksize: int, scale: int = 1) -> Tuple[np.ndarray, int, int]:
+    """Sketch one FASTA/FASTQ file natively -> (unique sorted hashes,
+    total_kmers, inserted_kmers).  sourmash hashing convention."""
+    lib = _try_load()
+    out_p = ctypes.POINTER(ctypes.c_uint64)()
+    n_out = ctypes.c_int64()
+    total = ctypes.c_uint64()
+    inserted = ctypes.c_uint64()
+    rc = lib.ks_sketch_file(
+        path.encode(), ksize, ctypes.c_uint64(max(1, scale)),
+        ctypes.byref(out_p), ctypes.byref(n_out),
+        ctypes.byref(total), ctypes.byref(inserted),
+    )
+    if rc != 0:
+        raise IOError(f"native sketch failed with code {rc} for {path}")
+    n = n_out.value
+    hashes = np.ctypeslib.as_array(out_p, shape=(n,)).astype(np.uint64, copy=True)
+    lib.ks_free(out_p)
+    return hashes, int(total.value), int(inserted.value)
+
+
+def write_bin(path: str, hashes: np.ndarray) -> None:
+    lib = _try_load()
+    arr = np.ascontiguousarray(hashes, dtype=np.uint64)
+    rc = lib.ks_write_bin(path.encode(), _as_u64p(arr), len(arr))
+    if rc != 0:
+        raise IOError(f"native write_bin failed with code {rc}")
+
+
+def read_bin(path: str) -> np.ndarray:
+    lib = _try_load()
+    out_p = ctypes.POINTER(ctypes.c_uint64)()
+    n_out = ctypes.c_int64()
+    rc = lib.ks_read_bin(path.encode(), ctypes.byref(out_p), ctypes.byref(n_out))
+    if rc != 0:
+        raise IOError(f"native read_bin failed with code {rc}")
+    n = n_out.value
+    hashes = np.ctypeslib.as_array(out_p, shape=(n,)).astype(np.uint64, copy=True)
+    lib.ks_free(out_p)
+    return hashes
+
+
+def shared_kmer_matrix(
+    offsets: np.ndarray,
+    members: np.ndarray,
+    weights: np.ndarray,
+    n: int,
+    threads: int = 0,
+) -> np.ndarray:
+    """OpenMP host pairwise engine (the bench baseline)."""
+    lib = _try_load()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    members = np.ascontiguousarray(members, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.int64)
+    s = np.zeros((n, n), dtype=np.int64)
+    lib.ks_pairwise_dense(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        members.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(weights),
+        n,
+        threads,
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return s

@@ -67,6 +67,37 @@ def connected_components(
     return np.asarray(labels)
 
 
+def connected_components_dense(adj) -> "jnp.ndarray":
+    """Jittable CC over a dense boolean adjacency matrix (n, n).
+
+    Used inside the fused pipeline step where the adjacency is already a
+    dense on-device thresholding of the shared-k-mer matrix; min-label
+    propagation with pointer jumping, O(log n) rounds.
+    """
+    n = adj.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    a = adj | eye
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+
+    def round_fn(labels):
+        neigh = jnp.where(a, labels[None, :], n)
+        labels = jnp.minimum(labels, jnp.min(neigh, axis=1).astype(jnp.int32))
+        labels = labels[labels]
+        labels = labels[labels]
+        return labels
+
+    def cond(state):
+        prev, cur = state
+        return jnp.any(prev != cur)
+
+    def body(state):
+        _, cur = state
+        return cur, round_fn(cur)
+
+    _, final = jax.lax.while_loop(cond, body, (labels0 - 1, labels0))
+    return final[final]
+
+
 def connected_components_scipy(
     edges_src: np.ndarray, edges_dst: np.ndarray, n: int
 ) -> np.ndarray:

@@ -1,0 +1,345 @@
+// Native runtime for kspider_tpu: streaming FASTA/FASTQ sketching,
+// phmap-dump-compatible binary IO, and an OpenMP host pairwise engine.
+//
+// This is the host-side counterpart of the TPU compute path — the roles
+// the reference implements in C++ (kmer decoding/hashing:
+// /root/reference/src/fastx_to_kf.cpp; phmap dumps:
+// /root/reference/src/index.cpp:333-386; OpenMP pairwise hot loop:
+// /root/reference/src/pairwise.cpp:199-237) are re-implemented here from
+// scratch with a C ABI consumed via ctypes.  The OpenMP pairwise engine
+// doubles as the performance baseline that bench.py compares the TPU
+// kernel against.
+//
+// Build: make -C native   (g++ -O3 -fopenmp -shared)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <omp.h>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// memory
+// ---------------------------------------------------------------------------
+
+void ks_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// MurmurHash64A (Austin Appleby's 64-bit hash; public domain algorithm).
+// The sourmash ecosystem hashes canonical k-mer strings with seed 42.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t murmur64a(const uint8_t* data, size_t len, uint64_t seed) {
+    const uint64_t m = 0xc6a4a7935bd1e995ULL;
+    const int r = 47;
+    uint64_t h = seed ^ (len * m);
+    const uint8_t* p = data;
+    const uint8_t* end = data + (len & ~size_t(7));
+    while (p != end) {
+        uint64_t k;
+        memcpy(&k, p, 8);
+        p += 8;
+        k *= m;
+        k ^= k >> r;
+        k *= m;
+        h ^= k;
+        h *= m;
+    }
+    size_t tail = len & 7;
+    if (tail) {
+        uint64_t t = 0;
+        for (size_t i = tail; i-- > 0;) t = (t << 8) | p[i];
+        h ^= t;
+        h *= m;
+    }
+    h ^= h >> r;
+    h *= m;
+    h ^= h >> r;
+    return h;
+}
+
+void ks_murmur64_batch(const uint8_t* rows, int64_t n, int64_t len,
+                       uint64_t seed, uint64_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        out[i] = murmur64a(rows + i * len, (size_t)len, seed);
+    }
+}
+
+// Thomas-Wang style invertible 64-bit mix masked to 2k bits (MQF family).
+static inline uint64_t tw_hash(uint64_t key, uint64_t mask) {
+    key = (~key + (key << 21)) & mask;
+    key = key ^ (key >> 24);
+    key = (key + (key << 3) + (key << 8)) & mask;
+    key = key ^ (key >> 14);
+    key = (key + (key << 2) + (key << 4)) & mask;
+    key = key ^ (key >> 28);
+    key = (key + (key << 31)) & mask;
+    return key;
+}
+
+void ks_integer_hash_batch(const uint64_t* keys, int64_t n, int ksize,
+                           uint64_t* out) {
+    uint64_t mask = (ksize >= 32) ? ~0ULL : ((1ULL << (2 * ksize)) - 1);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) out[i] = tw_hash(keys[i], mask);
+}
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ streaming sketcher
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LineReader {
+    gzFile f = nullptr;
+    std::vector<char> buf;
+    explicit LineReader(const char* path) : buf(1 << 20) {
+        f = gzopen(path, "rb");
+    }
+    ~LineReader() {
+        if (f) gzclose(f);
+    }
+    bool ok() const { return f != nullptr; }
+    // returns false at EOF; strips trailing newline/CR
+    bool getline(std::string& out) {
+        out.clear();
+        for (;;) {
+            char* r = gzgets(f, buf.data(), (int)buf.size());
+            if (!r) return !out.empty();
+            out += r;
+            if (!out.empty() && out.back() == '\n') {
+                out.pop_back();
+                if (!out.empty() && out.back() == '\r') out.pop_back();
+                return true;
+            }
+            // long line: keep appending
+        }
+    }
+};
+
+constexpr uint8_t kInvalid = 255;
+
+struct Tables {
+    uint8_t code[256];
+    uint8_t comp[256];
+    Tables() {
+        memset(code, kInvalid, sizeof(code));
+        const char* b = "ACGT";
+        const char* lb = "acgt";
+        for (int i = 0; i < 4; i++) {
+            code[(uint8_t)b[i]] = (uint8_t)i;
+            code[(uint8_t)lb[i]] = (uint8_t)i;
+        }
+        for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
+        comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+        comp['a'] = 'T'; comp['t'] = 'A'; comp['c'] = 'G'; comp['g'] = 'C';
+    }
+};
+static const Tables kTables;
+
+// Hash every canonical k-mer of seq (sourmash string convention, seed 42),
+// appending hashes < max_hash to out.  Counts every window (valid or not
+// containing invalid bases are skipped entirely).
+void hash_sequence_sourmash(const std::string& seq, int k, uint64_t max_hash,
+                            std::vector<uint64_t>& out, uint64_t* total) {
+    const size_t n = seq.size();
+    if ((int)n < k) return;
+    std::string fwd(k, 'N'), rcv(k, 'N');
+    // rolling validity: index of last invalid base seen
+    ptrdiff_t last_bad = -1;
+    for (size_t i = 0; i < n; i++) {
+        if (kTables.code[(uint8_t)seq[i]] == kInvalid) last_bad = (ptrdiff_t)i;
+        if (i + 1 < (size_t)k) continue;
+        size_t start = i + 1 - k;
+        if (last_bad >= (ptrdiff_t)start) continue;  // window has invalid base
+        (*total)++;  // count valid windows only (matches the Python sketcher)
+        // build canonical: compare fwd vs revcomp lexicographically
+        for (int j = 0; j < k; j++) {
+            char c = seq[start + j];
+            fwd[j] = (char)(c >= 'a' ? c - 32 : c);  // uppercase
+            rcv[k - 1 - j] = (char)kTables.comp[(uint8_t)c];
+        }
+        const std::string& canon = (rcv < fwd) ? rcv : fwd;
+        uint64_t h = murmur64a((const uint8_t*)canon.data(), (size_t)k, 42);
+        if (h < max_hash) out.push_back(h);
+    }
+}
+
+// returns 0 on success
+int sketch_stream(const char* path, int k, uint64_t max_hash,
+                  std::vector<uint64_t>& hashes, uint64_t* total) {
+    LineReader rd(path);
+    if (!rd.ok()) return 1;
+    std::string line, seq;
+    if (!rd.getline(line)) return 0;
+    if (!line.empty() && line[0] == '>') {  // FASTA
+        while (rd.getline(line)) {
+            if (!line.empty() && line[0] == '>') {
+                hash_sequence_sourmash(seq, k, max_hash, hashes, total);
+                seq.clear();
+            } else {
+                seq += line;
+            }
+        }
+        hash_sequence_sourmash(seq, k, max_hash, hashes, total);
+    } else if (!line.empty() && line[0] == '@') {  // FASTQ
+        for (;;) {
+            if (!rd.getline(seq)) break;          // sequence line
+            hash_sequence_sourmash(seq, k, max_hash, hashes, total);
+            if (!rd.getline(line)) break;         // '+'
+            if (!rd.getline(line)) break;         // quality
+            if (!rd.getline(line)) break;         // next '@header'
+        }
+    } else {
+        return 2;
+    }
+    return 0;
+}
+
+}  // namespace
+
+// Sketch one file: canonical k-mers, murmur64 seed 42 (sourmash
+// convention), keep hash < UINT64_MAX/scale, return UNIQUE sorted hashes.
+// Returns 0 on success.  *out is malloc'd; free with ks_free.
+int ks_sketch_file(const char* path, int k, uint64_t scale, uint64_t** out,
+                   int64_t* n_out, uint64_t* total_kmers,
+                   uint64_t* inserted_kmers) {
+    uint64_t max_hash = (scale <= 1) ? ~0ULL : (~0ULL / scale);
+    std::vector<uint64_t> hashes;
+    uint64_t total = 0;
+    int rc = sketch_stream(path, k, max_hash, hashes, &total);
+    if (rc) return rc;
+    *inserted_kmers = (uint64_t)hashes.size();
+    *total_kmers = total;
+    std::sort(hashes.begin(), hashes.end());
+    hashes.erase(std::unique(hashes.begin(), hashes.end()), hashes.end());
+    *n_out = (int64_t)hashes.size();
+    *out = (uint64_t*)malloc(sizeof(uint64_t) * hashes.size());
+    memcpy(*out, hashes.data(), sizeof(uint64_t) * hashes.size());
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// phmap-dump-compatible .bin IO (layout documented in kspider_tpu/io/phmap.py)
+// ---------------------------------------------------------------------------
+
+static uint64_t normalize_capacity(uint64_t n) {
+    if (n == 0) return 1;
+    uint64_t cap = 1;
+    while (cap - cap / 8 < n) cap = cap * 2 + 1;
+    return cap;
+}
+
+int ks_write_bin(const char* path, const uint64_t* hashes, int64_t n) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 1;
+    uint64_t size = (uint64_t)n;
+    uint64_t cap = normalize_capacity(size);
+    fwrite(&size, 8, 1, f);
+    fwrite(&cap, 8, 1, f);
+    if (size) {
+        std::vector<uint8_t> ctrl(cap + 17, 0x80);
+        for (uint64_t i = 0; i < size; i++)
+            ctrl[i] = (uint8_t)(hashes[i] & 0x7f);
+        ctrl[cap] = 0xff;
+        for (int i = 0; i < 16; i++) ctrl[cap + 1 + i] = ctrl[i];
+        fwrite(ctrl.data(), 1, ctrl.size(), f);
+        fwrite(hashes, 8, size, f);
+        // pad the empty slots
+        std::vector<uint64_t> zeros(cap - size, 0);
+        if (!zeros.empty()) fwrite(zeros.data(), 8, zeros.size(), f);
+    }
+    fclose(f);
+    return 0;
+}
+
+int ks_read_bin(const char* path, uint64_t** out, int64_t* n_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    uint64_t first = 0, size = 0, cap = 0;
+    if (fread(&first, 8, 1, f) != 1) { fclose(f); return 2; }
+    if (first >= (~0ULL) - 10) {  // versioned dump
+        if (fread(&size, 8, 1, f) != 1) { fclose(f); return 2; }
+    } else {
+        size = first;
+    }
+    if (fread(&cap, 8, 1, f) != 1) { fclose(f); return 2; }
+    std::vector<uint64_t> vals;
+    if (size) {
+        std::vector<uint8_t> ctrl(cap + 17);
+        if (fread(ctrl.data(), 1, ctrl.size(), f) != ctrl.size()) {
+            fclose(f);
+            return 2;
+        }
+        std::vector<uint64_t> slots(cap);
+        if (fread(slots.data(), 8, cap, f) != cap) { fclose(f); return 2; }
+        vals.reserve(size);
+        for (uint64_t i = 0; i < cap; i++)
+            if (ctrl[i] < 0x80) vals.push_back(slots[i]);
+        if (vals.size() != size) { fclose(f); return 3; }
+    }
+    fclose(f);
+    std::sort(vals.begin(), vals.end());
+    *n_out = (int64_t)vals.size();
+    *out = (uint64_t*)malloc(sizeof(uint64_t) * vals.size());
+    memcpy(*out, vals.data(), sizeof(uint64_t) * vals.size());
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// OpenMP host pairwise engine (baseline + fallback)
+// ---------------------------------------------------------------------------
+
+// Dense shared-kmer matrix: for each color, add weight to all member
+// pairs.  Per-thread partial matrices, reduced at the end — the
+// contention-free version of the reference's mutex-guarded hash map
+// (/root/reference/src/pairwise.cpp:22-27,220-225).
+void ks_pairwise_dense(const int64_t* offsets, const int32_t* members,
+                       const int64_t* weights, int64_t n_colors, int32_t n,
+                       int threads, int64_t* s_out) {
+    size_t nn = (size_t)n * n;
+    memset(s_out, 0, nn * sizeof(int64_t));
+    if (threads <= 0) threads = omp_get_max_threads();
+#pragma omp parallel num_threads(threads)
+    {
+        std::vector<int64_t> local(nn, 0);
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t c = 0; c < n_colors; c++) {
+            int64_t start = offsets[c], end = offsets[c + 1];
+            int64_t w = weights[c];
+            for (int64_t i = start; i < end; i++) {
+                int32_t a = members[i];
+                int64_t* row = local.data() + (size_t)a * n;
+                for (int64_t j = i + 1; j < end; j++) {
+                    int32_t b = members[j];
+                    row[b] += w;
+                }
+            }
+        }
+#pragma omp critical
+        {
+            for (size_t i = 0; i < nn; i++) s_out[i] += local[i];
+        }
+    }
+    // symmetrize (we accumulated upper/lower mixed depending on member order)
+    for (int32_t i = 0; i < n; i++) {
+        for (int32_t j = i + 1; j < n; j++) {
+            int64_t v = s_out[(size_t)i * n + j] + s_out[(size_t)j * n + i];
+            s_out[(size_t)i * n + j] = v;
+            s_out[(size_t)j * n + i] = v;
+        }
+        s_out[(size_t)i * n + i] = 0;
+    }
+}
+
+int ks_omp_max_threads() { return omp_get_max_threads(); }
+
+}  // extern "C"

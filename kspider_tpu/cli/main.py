@@ -227,8 +227,9 @@ def _validate_names(log, names_file):
 @click.option("-t", "--threads", "user_threads", default=1, required=False, type=int, help="number of cores (accepted for compatibility; the TPU engine ignores it)")
 @click.option("-s", "--scale", "sourmash_scale", required=False, default=0, type=int, help="scale used in creating sourmash sigs (only when using --estimate-ani)")
 @click.option("--cpu", "force_cpu", is_flag=True, default=False, help="use the host (numpy) engine instead of the TPU kernel")
+@click.option("--engine", "engine", default="auto", show_default=True, type=click.Choice(["auto", "bitmask", "pallas", "scatter"]), help="TPU co-occurrence engine variant")
 @click.pass_context
-def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu):
+def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine):
     """Generate containment pairwise matrix."""
     from kspider_tpu.core import pairwise as core_pairwise
     from kspider_tpu.models import ani as ani_model
@@ -238,7 +239,7 @@ def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu):
         log.INFO("Constructing the containment pairwise matrix.")
         if sourmash_scale:
             log.WARNING("No need to provide -s/--scale when running this command.")
-        core_pairwise.run_pairwise(index_prefix, use_tpu=not force_cpu)
+        core_pairwise.run_pairwise(index_prefix, use_tpu=not force_cpu, engine=engine)
         log.SUCCESS("Done.")
         return
 

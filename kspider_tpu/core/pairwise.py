@@ -30,7 +30,10 @@ def format_float_cpp(x: float) -> str:
 
 
 def compute_shared_matrix(
-    index: ColorIndex, use_tpu: bool = True, block: int = 512
+    index: ColorIndex,
+    use_tpu: bool = True,
+    block: int = 512,
+    engine: str = "auto",
 ) -> np.ndarray:
     """S[i, j] = number of k-mer hashes shared by groups i and j (int64)."""
     if use_tpu:
@@ -40,6 +43,7 @@ def compute_shared_matrix(
             index.color_counts,
             index.num_groups,
             block=block,
+            engine=engine,
         )
     return pairwise_ops.shared_kmer_matrix_numpy(
         index.color_offsets,
@@ -109,6 +113,7 @@ def run_pairwise(
     index: Optional[ColorIndex] = None,
     use_tpu: bool = True,
     echo_timers: bool = True,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Full pairwise stage: load artifacts if needed, compute, emit TSVs."""
     import time
@@ -127,7 +132,7 @@ def run_pairwise(
         print(f"kmer counting: {time.perf_counter() - t0:.6g} secs")
 
     t0 = time.perf_counter()
-    shared = compute_shared_matrix(index, use_tpu=use_tpu)
+    shared = compute_shared_matrix(index, use_tpu=use_tpu, engine=engine)
     if echo_timers:
         print(
             f"pairwise matrix construction: {time.perf_counter() - t0:.6g} secs"

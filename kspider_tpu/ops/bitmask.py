@@ -1,0 +1,143 @@
+"""Bitmask-layout co-occurrence: the fast path of the pairwise engine.
+
+The postings->dense-block scatter (ops/pairwise.py) is the throughput
+bottleneck on TPU: XLA lowers scatter to serialized updates.  The
+TPU-native layout stores each color's membership as a packed bitmask
+(N/8 bytes per color).  The device then:
+
+  1. unpacks bits to an int8 0/1 block with VPU shifts/masks (vectorized,
+     no scatter),
+  2. scales by base-128 weight limbs,
+  3. accumulates the Gram matrix with int8 MXU matmuls.
+
+Packing happens once on host at index-build time with vectorized numpy
+(``np.bitwise_or.at``), and the packed index is 8x smaller than an int8
+presence matrix — it is also the natural serialization for device-resident
+indexes.  Bit order matches ``np.packbits`` (MSB first).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pack_bitmask_blocks(
+    offsets: np.ndarray, members: np.ndarray, n: int, block: int
+) -> np.ndarray:
+    """CSR colors -> packed membership bitmasks [NB, block, n_pad/8] u8."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    members = np.asarray(members, dtype=np.int64)
+    num_colors = len(offsets) - 1
+    num_blocks = max(1, _cdiv(num_colors, block))
+    n_pad = max(128, _cdiv(n, 128) * 128)
+    n8 = n_pad // 8
+    bits = np.zeros((num_blocks * block, n8), dtype=np.uint8)
+    degrees = np.diff(offsets)
+    color_idx = np.repeat(np.arange(num_colors, dtype=np.int64), degrees)
+    np.bitwise_or.at(
+        bits,
+        (color_idx, members // 8),
+        (np.uint8(0x80) >> (members % 8).astype(np.uint8)),
+    )
+    return bits.reshape(num_blocks, block, n8)
+
+
+def unpack_bits_to_int8(bits: jnp.ndarray) -> jnp.ndarray:
+    """u8[..., n8] -> i8[..., n8*8] 0/1 (MSB-first, matching np.packbits)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    expanded = (bits[..., None] >> shifts) & jnp.uint8(1)
+    return expanded.reshape(*bits.shape[:-1], bits.shape[-1] * 8).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "n_pad", "n_limbs"))
+def cooccurrence_bitmask_blocks(
+    bits, w_limbs, block: int, n_pad: int, n_limbs: int
+):
+    """bits u8[NB, block, n_pad/8], w_limbs i8[NB, block, n_limbs]
+    -> i32[n_limbs, n_pad, n_pad] per-limb Gram accumulators."""
+
+    def body(acc, xs):
+        b, wl = xs
+        a = unpack_bits_to_int8(b)  # [block, n_pad] i8
+
+        def limb(l, acc):
+            wa = a * wl[:, l][:, None]
+            s = jax.lax.dot_general(
+                wa,
+                a,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.at[l].add(s)
+
+        return jax.lax.fori_loop(0, n_limbs, limb, acc), None
+
+    acc0 = jnp.zeros((n_limbs, n_pad, n_pad), dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, (bits, w_limbs))
+    return acc
+
+
+def shared_kmer_matrix_bitmask(
+    offsets: np.ndarray,
+    members: np.ndarray,
+    weights: np.ndarray,
+    n: int,
+    block: int = 1024,
+    drop_singletons: bool = True,
+) -> np.ndarray:
+    """Exact shared-k-mer matrix via the bitmask layout (int64, NxN)."""
+    from kspider_tpu.ops import pairwise as pw
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    members = np.asarray(members, dtype=np.int32)
+    weights = np.asarray(weights, dtype=np.int64)
+    degrees = np.diff(offsets)
+    if drop_singletons:
+        keep = np.flatnonzero(degrees >= 2)
+    else:
+        keep = np.arange(len(degrees))
+    if len(keep) == 0 or n == 0:
+        return np.zeros((n, n), dtype=np.int64)
+
+    kept_deg = degrees[keep]
+    new_offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(kept_deg, out=new_offsets[1:])
+    gather = np.repeat(offsets[keep], kept_deg) + (
+        np.arange(int(kept_deg.sum())) - np.repeat(new_offsets[:-1], kept_deg)
+    )
+    new_members = members[gather]
+    new_weights = weights[keep]
+
+    n_pad = max(128, _cdiv(n, 128) * 128)
+    w_limbs = pw.weight_limbs(new_weights)
+    n_limbs = w_limbs.shape[1]
+    num_colors = len(new_weights)
+
+    total = np.zeros((n_pad, n_pad), dtype=np.int64)
+    super_size = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
+    for start in range(0, num_colors, super_size):
+        stop = min(start + super_size, num_colors)
+        sl_off = new_offsets[start : stop + 1] - new_offsets[start]
+        sl_mem = new_members[new_offsets[start] : new_offsets[stop]]
+        bits = pack_bitmask_blocks(sl_off, sl_mem, n, block)
+        nb = bits.shape[0]
+        wl = np.zeros((nb * block, n_limbs), dtype=np.int8)
+        wl[: stop - start] = w_limbs[start:stop]
+        wl = wl.reshape(nb, block, n_limbs)
+        acc = np.asarray(
+            cooccurrence_bitmask_blocks(bits, wl, block, n_pad, n_limbs)
+        ).astype(np.int64)
+        scale = 1
+        for l in range(n_limbs):
+            total += acc[l] * scale
+            scale *= 128
+    s = total[:n, :n]
+    np.fill_diagonal(s, 0)
+    return s

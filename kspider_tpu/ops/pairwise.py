@@ -134,13 +134,35 @@ def shared_kmer_matrix(
     n: int,
     block: int = 512,
     drop_singletons: bool = True,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Exact shared-k-mer matrix S (int64, NxN, symmetric, zero diagonal).
 
     Input is the color-class CSR from :class:`~kspider_tpu.core.index.ColorIndex`:
     ``members[offsets[c]:offsets[c+1]]`` lists the 0-based sample ids of
     color ``c`` and ``weights[c]`` its k-mer count.
+
+    ``engine``: "auto" | "bitmask" (XLA, packed-bit layout — the default
+    fast path) | "pallas" (fused VMEM-resident kernel) | "scatter"
+    (postings scatter + matmul; kept for comparison/fallback).
     """
+    if engine == "auto":
+        engine = "bitmask"
+    if engine == "bitmask":
+        from kspider_tpu.ops.bitmask import shared_kmer_matrix_bitmask
+
+        return shared_kmer_matrix_bitmask(
+            offsets, members, weights, n,
+            block=max(block, 1024), drop_singletons=drop_singletons,
+        )
+    if engine == "pallas":
+        from kspider_tpu.ops.pallas_pairwise import shared_kmer_matrix_pallas
+
+        return shared_kmer_matrix_pallas(
+            offsets, members, weights, n, drop_singletons=drop_singletons
+        )
+    if engine != "scatter":
+        raise ValueError(f"unknown engine {engine!r}")
     offsets = np.asarray(offsets, dtype=np.int64)
     members = np.asarray(members, dtype=np.int32)
     weights = np.asarray(weights, dtype=np.int64)

@@ -1,0 +1,215 @@
+"""Pallas TPU kernel for the pairwise co-occurrence Gram matrix.
+
+The XLA path (ops/bitmask.py) round-trips the int32 accumulators and every
+unpacked/scaled intermediate through HBM on each scan step.  This kernel
+fuses the whole per-block pipeline in VMEM:
+
+  grid = (n_i, n_j, num_blocks)   # output tile (i, j); color block b last
+  per step:
+    bits_i u8[tile/8, block], bits_j u8[tile/8, block]   <- only HBM reads
+    aT_i = unpack(bits_i) [tile, block];  aT_j likewise   (VPU shifts)
+    for each weight limb l: acc_l += aT_i @ (w_l * aT_j)^T   (MXU)
+
+Layout: bitmasks are stored **transposed** — [num_blocks, n_pad/8, block]
+with colors on the 128-lane minor dimension — which satisfies the TPU
+block-shape rules for the sliced byte dimension and yields the unpacked
+tiles directly in the (samples, colors) orientation the matmul contracts
+over.  Because the output index_map is constant in the trailing grid
+dimension, the int32 accumulator tile stays resident in VMEM across the
+entire color sweep and is written to HBM exactly once; HBM traffic is just
+the packed bitmasks.
+
+The N-tiling makes this kernel the building block for 100K-sample runs: S
+is produced tile-by-tile without materializing an NxN presence matrix.
+
+Replaces the scalar hot loop at /root/reference/src/pairwise.cpp:199-237.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _unpack_T(bits, tile: int, block: int):
+    """u8[tile/8, block] -> i32[tile, block] 0/1, MSB-first rows.
+
+    Row 8*i + k of the result is bit k (MSB first) of byte row i.  All bit
+    arithmetic stays in int32 — Mosaic does not legalize 8-bit vector
+    sub/shift/mul ops; callers cast to the matmul operand dtype last.
+    """
+    shifts = jnp.int32(7) - jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    expanded = (bits[:, None, :].astype(jnp.int32) >> shifts) & jnp.int32(1)
+    return expanded.reshape(tile, block)
+
+
+def _kernel(bits_i_ref, bits_j_ref, wl_ref, out_ref, *, tile, block, n_limbs,
+            compute_dtype):
+    b = pl.program_id(2)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    acc_dtype = (
+        jnp.float32 if compute_dtype == jnp.bfloat16 else jnp.int32
+    )
+    a_i32 = _unpack_T(bits_i_ref[0], tile, block)
+    a_j32 = _unpack_T(bits_j_ref[0], tile, block)
+    a_i = a_i32.astype(compute_dtype)
+    for l in range(n_limbs):  # static unroll; l indexes out_ref statically
+        w = wl_ref[0, l, :].astype(jnp.int32)  # [block]
+        wa_j = (a_j32 * w[None, :]).astype(compute_dtype)
+        s = jax.lax.dot_general(
+            a_i,
+            wa_j,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        out_ref[l, :, :] = out_ref[l, :, :] + s.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "n_pad", "n_limbs", "tile", "compute_dtype", "interpret"),
+)
+def cooccurrence_pallas(
+    bits_t,
+    w_limbs_t,
+    block: int,
+    n_pad: int,
+    n_limbs: int,
+    tile: int = 512,
+    compute_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """bits_t u8[NB, n_pad/8, block], w_limbs_t i8[NB, n_limbs, block]
+    -> i32[n_limbs, n_pad, n_pad]."""
+    num_blocks = bits_t.shape[0]
+    nt = n_pad // tile
+    t8 = tile // 8
+
+    grid = (nt, nt, num_blocks)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, tile=tile, block=block, n_limbs=n_limbs,
+            compute_dtype=compute_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, t8, block), lambda i, j, b: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t8, block), lambda i, j, b: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_limbs, block), lambda i, j, b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_limbs, tile, tile), lambda i, j, b: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_limbs, n_pad, n_pad), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_limbs * num_blocks * block * n_pad * n_pad,
+            bytes_accessed=num_blocks * block * (n_pad // 8) * max(1, nt)
+            + n_limbs * n_pad * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bits_t, bits_t, w_limbs_t)
+
+
+def pack_inputs(
+    offsets: np.ndarray,
+    members: np.ndarray,
+    w_limbs: np.ndarray,
+    n_pad: int,
+    block: int,
+):
+    """CSR colors -> transposed device inputs (bits_t, w_limbs_t)."""
+    from kspider_tpu.ops import bitmask as bm
+
+    bits = bm.pack_bitmask_blocks(offsets, members, n_pad, block)
+    bits_t = np.ascontiguousarray(bits.transpose(0, 2, 1))
+    nb = bits.shape[0]
+    n_limbs = w_limbs.shape[1]
+    wl = np.zeros((nb * block, n_limbs), dtype=np.int8)
+    wl[: len(w_limbs)] = w_limbs
+    wl_t = np.ascontiguousarray(
+        wl.reshape(nb, block, n_limbs).transpose(0, 2, 1)
+    )
+    return bits_t, wl_t
+
+
+def shared_kmer_matrix_pallas(
+    offsets: np.ndarray,
+    members: np.ndarray,
+    weights: np.ndarray,
+    n: int,
+    block: int = 4096,
+    tile: int = 512,
+    drop_singletons: bool = True,
+    compute_dtype=jnp.int8,
+    interpret: bool = None,
+) -> np.ndarray:
+    """Exact shared-k-mer matrix via the fused Pallas kernel (int64, NxN)."""
+    from kspider_tpu.ops import pairwise as pw
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    members = np.asarray(members, dtype=np.int32)
+    weights = np.asarray(weights, dtype=np.int64)
+    degrees = np.diff(offsets)
+    keep = (
+        np.flatnonzero(degrees >= 2) if drop_singletons else np.arange(len(degrees))
+    )
+    if len(keep) == 0 or n == 0:
+        return np.zeros((n, n), dtype=np.int64)
+
+    kept_deg = degrees[keep]
+    new_offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(kept_deg, out=new_offsets[1:])
+    gather = np.repeat(offsets[keep], kept_deg) + (
+        np.arange(int(kept_deg.sum())) - np.repeat(new_offsets[:-1], kept_deg)
+    )
+    new_members = members[gather]
+    new_weights = weights[keep]
+
+    n_pad = max(tile, -(-n // tile) * tile)
+    w_limbs = pw.weight_limbs(new_weights)
+    n_limbs = w_limbs.shape[1]
+    num_colors = len(new_weights)
+
+    total = np.zeros((n_pad, n_pad), dtype=np.int64)
+    super_size = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
+    for start in range(0, num_colors, super_size):
+        stop = min(start + super_size, num_colors)
+        sl_off = new_offsets[start : stop + 1] - new_offsets[start]
+        sl_mem = new_members[new_offsets[start] : new_offsets[stop]]
+        bits_t, wl_t = pack_inputs(
+            sl_off, sl_mem, w_limbs[start:stop], n_pad, block
+        )
+        acc = np.asarray(
+            cooccurrence_pallas(
+                bits_t, wl_t, block, n_pad, n_limbs, tile=tile,
+                compute_dtype=compute_dtype, interpret=interpret,
+            )
+        ).astype(np.int64)
+        scale = 1
+        for l in range(n_limbs):
+            total += acc[l] * scale
+            scale *= 128
+    s = total[:n, :n]
+    np.fill_diagonal(s, 0)
+    return s

@@ -1,0 +1,56 @@
+"""Bitmask and Pallas pairwise engines vs the numpy reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kspider_tpu.ops import bitmask as bm
+from kspider_tpu.ops import pairwise as pw
+from kspider_tpu.ops.pallas_pairwise import shared_kmer_matrix_pallas
+from tests.test_pairwise_ops import random_csr
+
+
+def test_pack_bitmask_matches_packbits(rng):
+    offsets = np.array([0, 3, 5], dtype=np.int64)
+    members = np.array([0, 9, 130, 4, 255], dtype=np.int64)
+    bits = bm.pack_bitmask_blocks(offsets, members, 256, block=2)
+    dense = np.zeros((2, 256), dtype=np.uint8)
+    dense[0, [0, 9, 130]] = 1
+    dense[1, [4, 255]] = 1
+    expect = np.packbits(dense, axis=1)
+    assert np.array_equal(bits[0], expect)
+
+
+def test_bitmask_engine_matches_numpy(rng):
+    o, m, w = random_csr(rng, 900, 200, max_degree=12, max_weight=70000)
+    s1 = bm.shared_kmer_matrix_bitmask(o, m, w, 200, block=256)
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, 200)
+    assert np.array_equal(s1, s2)
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+def test_pallas_engine_matches_numpy(rng, dtype):
+    o, m, w = random_csr(rng, 600, 150, max_degree=10, max_weight=40000)
+    s1 = shared_kmer_matrix_pallas(
+        o, m, w, 150, block=128, tile=128, compute_dtype=dtype
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, 150)
+    assert np.array_equal(s1, s2)
+
+
+def test_pallas_multi_tile(rng):
+    # n spans multiple 128-wide tiles to exercise the (i, j) grid
+    o, m, w = random_csr(rng, 500, 300, max_degree=8, max_weight=300)
+    s1 = shared_kmer_matrix_pallas(o, m, w, 300, block=128, tile=128)
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, 300)
+    assert np.array_equal(s1, s2)
+
+
+def test_engine_dispatcher(rng):
+    o, m, w = random_csr(rng, 300, 60, max_degree=6, max_weight=1000)
+    s_ref = pw.shared_kmer_matrix_numpy(o, m, w, 60)
+    for engine in ("auto", "bitmask", "scatter", "pallas"):
+        s = pw.shared_kmer_matrix(o, m, w, 60, engine=engine)
+        assert np.array_equal(s, s_ref), engine
+    with pytest.raises(ValueError):
+        pw.shared_kmer_matrix(o, m, w, 60, engine="nope")

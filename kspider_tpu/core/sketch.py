@@ -83,6 +83,18 @@ def _sketch_streams(
     return SketchResult(hashes, total, inserted)
 
 
+def _native_sketch(path: str, ksize: int, scale: int):
+    """Native C++ fast path (sourmash hashing, no singleton filtering)."""
+    try:
+        from kspider_tpu.io import native
+
+        if native.available():
+            return native.sketch_file(path, ksize, scale)
+    except Exception:
+        pass
+    return None
+
+
 def sketch_single_end(
     path: str,
     ksize: int,
@@ -90,6 +102,11 @@ def sketch_single_end(
     hasher: str = "sourmash",
     remove_singletons: bool = False,
 ) -> SketchResult:
+    if hasher == "sourmash" and not remove_singletons:
+        nat = _native_sketch(path, ksize, scale)
+        if nat is not None:
+            hashes, total, inserted = nat
+            return SketchResult(hashes, total, inserted)
     return _sketch_streams(
         [fastx.read_records(path)], ksize, scale, hasher, remove_singletons
     )
@@ -103,6 +120,13 @@ def sketch_paired_end(
     hasher: str = "sourmash",
     remove_singletons: bool = False,
 ) -> SketchResult:
+    if hasher == "sourmash" and not remove_singletons:
+        nat1 = _native_sketch(r1_path, ksize, scale)
+        nat2 = _native_sketch(r2_path, ksize, scale)
+        if nat1 is not None and nat2 is not None:
+            h1, t1, i1 = nat1
+            h2, t2, i2 = nat2
+            return SketchResult(np.union1d(h1, h2), t1 + t2, i1 + i2)
     return _sketch_streams(
         [fastx.read_records(r1_path), fastx.read_records(r2_path)],
         ksize,

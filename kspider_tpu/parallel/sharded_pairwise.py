@@ -2,10 +2,11 @@
 
 TPU-native replacement for the reference's OpenMP range-split + shared
 hash map (/root/reference/src/pairwise.cpp:199-237): each device owns a
-contiguous slice of color blocks, builds its membership tiles, accumulates
-its partial Gram matrix with int8 MXU matmuls, and the partials are merged
-with a single ``jax.lax.psum`` over the ``shards`` axis — the collective
-rides ICI, there is no shared mutable state and no contention.
+contiguous slice of color blocks in the packed-bitmask layout
+(ops/bitmask.py), unpacks and accumulates its partial Gram matrix with
+int8 MXU matmuls, and the partials are merged with a single
+``jax.lax.psum`` over the ``shards`` axis — the collective rides ICI,
+there is no shared mutable state and no contention.
 """
 
 import functools
@@ -14,23 +15,20 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
+from kspider_tpu.ops import bitmask as bm
 from kspider_tpu.ops import pairwise as pairwise_ops
 from kspider_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 
 
-def _device_body(
-    rows, cols, w_limbs, block: int, n_pad: int, n_limbs: int, axis=None
-):
+def _device_body(bits, w_limbs, block: int, n_pad: int, n_limbs: int, axis=None):
     """Per-device scan over its local color blocks (same math as
-    ops.pairwise._cooccurrence_blocks)."""
+    ops.bitmask.cooccurrence_bitmask_blocks)."""
 
     def body(acc, xs):
-        r, c, wl = xs
-        a = jnp.zeros((block + 1, n_pad), dtype=jnp.int8)
-        a = a.at[r, c].set(1, mode="drop")
-        a = a[:block]
+        b, wl = xs
+        a = bm.unpack_bits_to_int8(b)  # [block, n_pad] i8
 
         def limb(l, acc):
             wa = a * wl[:, l][:, None]
@@ -49,33 +47,46 @@ def _device_body(
         # inside shard_map the carry must be marked varying over the mesh
         # axis to match the body output's vma type
         acc0 = jax.lax.pvary(acc0, (axis,))
-    acc, _ = jax.lax.scan(body, acc0, (rows, cols, w_limbs))
+    acc, _ = jax.lax.scan(body, acc0, (bits, w_limbs))
     return acc
 
 
 def sharded_cooccurrence(
-    rows: np.ndarray,
-    cols: np.ndarray,
+    bits: np.ndarray,
     w_limbs: np.ndarray,
     block: int,
     n_pad: int,
     n_limbs: int,
     mesh: Mesh,
 ):
-    """rows/cols i32[NB, P], w_limbs i8[NB, block, L] with NB divisible by
-    the mesh size; returns replicated i32[L, n_pad, n_pad]."""
+    """bits u8[NB, block, n_pad/8], w_limbs i8[NB, block, L] with NB
+    divisible by the mesh size; returns replicated i32[L, n_pad, n_pad]."""
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS, None, None)),
+        in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None, None)),
         out_specs=P(),
     )
-    def run(r, c, wl):
-        acc = _device_body(r, c, wl, block, n_pad, n_limbs, axis=SHARD_AXIS)
+    def run(b, wl):
+        acc = _device_body(b, wl, block, n_pad, n_limbs, axis=SHARD_AXIS)
         return jax.lax.psum(acc, SHARD_AXIS)
 
-    return jax.jit(run)(rows, cols, w_limbs)
+    return jax.jit(run)(bits, w_limbs)
+
+
+def _compact_multi_colors(offsets, members, weights):
+    degrees = np.diff(offsets)
+    keep = np.flatnonzero(degrees >= 2)
+    if len(keep) == 0:
+        return None
+    kept_deg = degrees[keep]
+    new_offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(kept_deg, out=new_offsets[1:])
+    gather = np.repeat(offsets[keep], kept_deg) + (
+        np.arange(int(kept_deg.sum())) - np.repeat(new_offsets[:-1], kept_deg)
+    )
+    return new_offsets, members[gather], weights[keep]
 
 
 def shared_kmer_matrix_sharded(
@@ -84,13 +95,12 @@ def shared_kmer_matrix_sharded(
     weights: np.ndarray,
     n: int,
     mesh: Optional[Mesh] = None,
-    block: int = 512,
+    block: int = 1024,
 ) -> np.ndarray:
     """Mesh-parallel version of :func:`kspider_tpu.ops.pairwise.shared_kmer_matrix`.
 
     Exactness bound: per-device color count must stay under
-    127 * C_local < 2**31; with default blocks that allows ~16.9M colors
-    per device per call.
+    127 * C_local < 2**31 (~16.9M colors per device per call).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -99,44 +109,32 @@ def shared_kmer_matrix_sharded(
     offsets = np.asarray(offsets, dtype=np.int64)
     members = np.asarray(members, dtype=np.int32)
     weights = np.asarray(weights, dtype=np.int64)
-    degrees = np.diff(offsets)
-    keep = np.flatnonzero(degrees >= 2)
-    if len(keep) == 0 or n == 0:
+    compacted = _compact_multi_colors(offsets, members, weights)
+    if compacted is None or n == 0:
         return np.zeros((n, n), dtype=np.int64)
-
-    kept_deg = degrees[keep]
-    new_offsets = np.zeros(len(keep) + 1, dtype=np.int64)
-    np.cumsum(kept_deg, out=new_offsets[1:])
-    gather = np.repeat(offsets[keep], kept_deg) + (
-        np.arange(int(kept_deg.sum())) - np.repeat(new_offsets[:-1], kept_deg)
-    )
-    new_members = members[gather]
-    new_weights = weights[keep]
+    new_offsets, new_members, new_weights = compacted
 
     n_pad = max(128, -(-n // 128) * 128)
     w_limbs = pairwise_ops.weight_limbs(new_weights)
     n_limbs = w_limbs.shape[1]
-    rows, cols, wl = pairwise_ops._pack_blocks(
-        new_offsets, new_members, w_limbs, block
-    )
+
+    bits = bm.pack_bitmask_blocks(new_offsets, new_members, n, block)
+    nb = bits.shape[0]
+    wl = np.zeros((nb * block, n_limbs), dtype=np.int8)
+    wl[: len(new_weights)] = w_limbs
+    wl = wl.reshape(nb, block, n_limbs)
 
     # pad block count to a multiple of the mesh size with empty blocks
-    nb = rows.shape[0]
     nb_pad = -(-nb // n_dev) * n_dev
     if nb_pad != nb:
         pad = nb_pad - nb
-        rows = np.concatenate(
-            [rows, np.full((pad, rows.shape[1]), block, dtype=np.int32)]
+        bits = np.concatenate(
+            [bits, np.zeros((pad,) + bits.shape[1:], dtype=np.uint8)]
         )
-        cols = np.concatenate(
-            [cols, np.zeros((pad, cols.shape[1]), dtype=np.int32)]
-        )
-        wl = np.concatenate(
-            [wl, np.zeros((pad, block, n_limbs), dtype=np.int8)]
-        )
+        wl = np.concatenate([wl, np.zeros((pad, block, n_limbs), dtype=np.int8)])
 
     acc = np.asarray(
-        sharded_cooccurrence(rows, cols, wl, block, n_pad, n_limbs, mesh)
+        sharded_cooccurrence(bits, wl, block, n_pad, n_limbs, mesh)
     ).astype(np.int64)
     total = np.zeros((n_pad, n_pad), dtype=np.int64)
     scale = 1

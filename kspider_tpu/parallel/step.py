@@ -6,7 +6,8 @@ This is the flagship compute graph of the framework: the reference needs
 three separate processes (C++ pairwise, TSV round-trip, Python/rustworkx
 clustering — /root/reference/src/pairwise.cpp, ks_clustering.py); here the
 entire analysis after ingestion runs on-device with a single ``psum`` over
-ICI and no host round-trips.
+ICI and no host round-trips.  Colors arrive in the packed-bitmask layout
+(ops/bitmask.py) — no scatter anywhere in the graph.
 
 Integer-exactness note: the fused step combines weight limbs in int32 on
 device (exact while every pairwise shared-count < 2**31, i.e. always in
@@ -15,16 +16,17 @@ artifact-writing path combines on host in int64 instead.
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from kspider_tpu.ops import bitmask as bm
 from kspider_tpu.ops import cc as cc_ops
 from kspider_tpu.ops import pairwise as pairwise_ops
-from kspider_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+from kspider_tpu.parallel.mesh import SHARD_AXIS
 from kspider_tpu.parallel.sharded_pairwise import _device_body
 
 
@@ -46,16 +48,18 @@ def _combine_and_cluster(acc, kmer_counts, cutoff, n_limbs):
     return shared, labels
 
 
-def single_device_step(rows, cols, w_limbs, kmer_counts, cutoff,
+def single_device_step(bits, w_limbs, kmer_counts, cutoff,
                        block: int, n_pad: int, n_limbs: int):
-    """Jittable single-chip pipeline step (the graft ``entry`` target)."""
-    acc = pairwise_ops._cooccurrence_blocks.__wrapped__(
-        rows, cols, w_limbs, block, n_pad, n_limbs
+    """Jittable single-chip pipeline step (the graft ``entry`` target).
+
+    bits u8[NB, block, n_pad/8], w_limbs i8[NB, block, L]."""
+    acc = bm.cooccurrence_bitmask_blocks.__wrapped__(
+        bits, w_limbs, block, n_pad, n_limbs
     )
     return _combine_and_cluster(acc, kmer_counts, cutoff, n_limbs)
 
 
-def sharded_step(mesh: Mesh, rows, cols, w_limbs, kmer_counts, cutoff,
+def sharded_step(mesh: Mesh, bits, w_limbs, kmer_counts, cutoff,
                  block: int, n_pad: int, n_limbs: int):
     """Full multi-chip step: shard color blocks, psum partial Gram
     matrices over ICI, cluster on replicated output."""
@@ -64,20 +68,19 @@ def sharded_step(mesh: Mesh, rows, cols, w_limbs, kmer_counts, cutoff,
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(SHARD_AXIS, None),
-            P(SHARD_AXIS, None),
+            P(SHARD_AXIS, None, None),
             P(SHARD_AXIS, None, None),
             P(),
             P(),
         ),
         out_specs=(P(), P()),
     )
-    def run(r, c, wl, counts, cut):
-        acc = _device_body(r, c, wl, block, n_pad, n_limbs, axis=SHARD_AXIS)
+    def run(b, wl, counts, cut):
+        acc = _device_body(b, wl, block, n_pad, n_limbs, axis=SHARD_AXIS)
         acc = jax.lax.psum(acc, SHARD_AXIS)
         return _combine_and_cluster(acc, counts, cut, n_limbs)
 
-    return jax.jit(run)(rows, cols, w_limbs, kmer_counts, cutoff)
+    return jax.jit(run)(bits, w_limbs, kmer_counts, cutoff)
 
 
 def make_example_blocks(
@@ -86,17 +89,24 @@ def make_example_blocks(
     block: int = 256,
     seed: int = 0,
     max_weight: int = 1000,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int, int]:
-    """Deterministic synthetic packed inputs for entry/dryrun/bench."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int, int]:
+    """Deterministic synthetic packed inputs for entry/dryrun/bench.
+
+    Returns (bits, w_limbs, kmer_counts, block, n_pad, n_limbs).
+    """
     rng = np.random.default_rng(seed)
     degrees = rng.integers(2, 6, size=n_colors)
     offsets = np.zeros(n_colors + 1, dtype=np.int64)
     np.cumsum(degrees, out=offsets[1:])
-    members = rng.integers(0, n_samples, size=int(offsets[-1])).astype(np.int32)
+    members = rng.integers(0, n_samples, size=int(offsets[-1])).astype(np.int64)
     weights = rng.integers(1, max_weight, size=n_colors).astype(np.int64)
     w_limbs = pairwise_ops.weight_limbs(weights)
     n_limbs = w_limbs.shape[1]
-    rows, cols, wl = pairwise_ops._pack_blocks(offsets, members, w_limbs, block)
-    n_pad = max(128, -(-n_samples // 128) * 128)
+    bits = bm.pack_bitmask_blocks(offsets, members, n_samples, block)
+    nb = bits.shape[0]
+    n_pad = bits.shape[2] * 8
+    wl = np.zeros((nb * block, n_limbs), dtype=np.int8)
+    wl[:n_colors] = w_limbs
+    wl = wl.reshape(nb, block, n_limbs)
     kmer_counts = rng.integers(5_000, 50_000, size=n_samples).astype(np.int32)
-    return rows, cols, wl, kmer_counts, block, n_pad, n_limbs
+    return bits, wl, kmer_counts, block, n_pad, n_limbs

@@ -1,0 +1,143 @@
+"""Hashing, k-mer extraction, and sketching semantics."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from kspider_tpu.core import hashing, sketch
+from kspider_tpu.io import fastx
+
+
+def revcomp(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def test_canonical_invariance(rng):
+    seq = "".join(rng.choice(list("ACGT"), size=500))
+    h1 = hashing.kmer_hashes_sourmash(seq, 21)
+    h2 = hashing.kmer_hashes_sourmash(revcomp(seq), 21)
+    assert np.array_equal(np.sort(h1), np.sort(h2))
+
+
+def test_invalid_bases_skipped():
+    seq = "ACGTACGTNNACGTACGTACGTACGT"
+    h = hashing.kmer_hashes_sourmash(seq, 7)
+    # windows touching the Ns are dropped
+    valid = [seq[i : i + 7] for i in range(len(seq) - 6) if "N" not in seq[i : i + 7]]
+    assert len(h) == len(valid)
+
+
+def test_lowercase_normalized():
+    a = hashing.kmer_hashes_sourmash("acgtacgtacgt", 7)
+    b = hashing.kmer_hashes_sourmash("ACGTACGTACGT", 7)
+    assert np.array_equal(a, b)
+
+
+def test_murmur_known_basics():
+    # murmur64a is deterministic and seed-sensitive
+    row = np.frombuffer(b"ACGTACGTACGTACGTACGTA", dtype=np.uint8)[None, :]
+    h42 = hashing.murmur64(row, seed=42)
+    h43 = hashing.murmur64(row, seed=43)
+    assert h42 != h43
+    assert hashing.murmur64(row, seed=42) == h42
+
+
+def test_murmur_matches_native():
+    from kspider_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    for length in (3, 8, 13, 21, 31, 64):
+        rows = rng.integers(0, 256, size=(200, length), dtype=np.uint8)
+        assert np.array_equal(
+            native.murmur64_batch(rows, 42), hashing.murmur64(rows, 42)
+        )
+
+
+def test_integer_hash_invertible_range():
+    ks = 21
+    x = np.arange(1000, dtype=np.uint64)
+    h = hashing.integer_hash(x, ks)
+    assert len(np.unique(h)) == 1000  # injective on the masked domain
+    assert int(h.max()) < (1 << (2 * ks))
+
+
+def test_scale_downsampling_property(tmp_path, rng):
+    seq = "".join(rng.choice(list("ACGT"), size=5000))
+    p = tmp_path / "x.fa"
+    p.write_text(f">s\n{seq}\n")
+    full = sketch.sketch_single_end(str(p), 15, scale=1)
+    down = sketch.sketch_single_end(str(p), 15, scale=16)
+    max_hash = sketch.UINT64_MAX // 16
+    assert np.array_equal(down.hashes, full.hashes[full.hashes < max_hash])
+
+
+def test_singleton_removal(tmp_path):
+    # k-mers occurring once are dropped with --singletones
+    seq1 = "ACGTACGTAGGCTAGCTAGCT"
+    p = tmp_path / "r.fq"
+    # seq repeated twice + one unique read
+    p.write_text(
+        f"@a\n{seq1}\n+\n{'I' * len(seq1)}\n"
+        f"@b\n{seq1}\n+\n{'I' * len(seq1)}\n"
+        f"@c\nTTTTAAAACCCCGGGGTTTTA\n+\n{'I' * 21}\n"
+    )
+    keep = sketch.sketch_single_end(str(p), 15, remove_singletons=True)
+    all_ = sketch.sketch_single_end(str(p), 15, remove_singletons=False)
+    # independent count model: occurrences across (and within) reads
+    from collections import Counter
+
+    counts = Counter()
+    for s, times in [(seq1, 2), ("TTTTAAAACCCCGGGGTTTTA", 1)]:
+        for _ in range(times):
+            counts.update(hashing.kmer_hashes_sourmash(s, 15).tolist())
+    expected = np.sort(
+        np.array([h for h, c in counts.items() if c > 1], dtype=np.uint64)
+    )
+    assert np.array_equal(keep.hashes, expected)
+    assert len(all_.hashes) > len(keep.hashes)
+
+
+def test_paired_end_matches_union(tmp_path, rng):
+    s1 = "".join(rng.choice(list("ACGT"), size=800))
+    s2 = "".join(rng.choice(list("ACGT"), size=800))
+    (tmp_path / "x_R1.fq").write_text(f"@a\n{s1}\n+\n{'I' * len(s1)}\n")
+    (tmp_path / "x_R2.fq").write_text(f"@a\n{s2}\n+\n{'I' * len(s2)}\n")
+    res = sketch.sketch_paired_end(
+        str(tmp_path / "x_R1.fq"), str(tmp_path / "x_R2.fq"), 21
+    )
+    expect = np.union1d(
+        hashing.kmer_hashes_sourmash(s1, 21), hashing.kmer_hashes_sourmash(s2, 21)
+    )
+    assert np.array_equal(res.hashes, expect)
+    assert sketch.paired_end_basename(str(tmp_path / "x_R1.fq")) == "x"
+
+
+def test_fastx_formats(tmp_path, rng):
+    seq = "".join(rng.choice(list("ACGT"), size=300))
+    fa = tmp_path / "m.fa"
+    fa.write_text(">a desc here\n" + "\n".join(seq[i : i + 60] for i in range(0, 300, 60)) + "\n>b\nACGT\n")
+    recs = list(fastx.read_records(str(fa)))
+    assert recs == [("a", seq), ("b", "ACGT")]
+
+    fq = tmp_path / "m.fq"
+    fq.write_text(f"@r1 x\n{seq}\n+\nq\n@r2\nACGT\n+\nq\n")
+    recs = list(fastx.read_records(str(fq)))
+    assert recs == [("r1", seq), ("r2", "ACGT")]
+
+    gz = tmp_path / "m.fa.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(f">a\n{seq}\n")
+    assert list(fastx.read_records(str(gz))) == [("a", seq)]
+
+
+def test_protein_codes():
+    codes = hashing.protein_kmer_codes("ACDEFGHIKLMNPQRSTVWY", 7)
+    assert len(codes) == 14
+    assert len(np.unique(codes)) == 14
+    day = hashing.protein_kmer_codes("ACDEFGHIKLMNPQRSTVWY", 7, dayhoff=True)
+    assert len(day) == 14
+    # dayhoff collapses groups -> codes bounded by 6 symbols in 5 bits
+    assert int(day.max()) < (1 << 35)

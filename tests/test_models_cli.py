@@ -1,0 +1,126 @@
+"""ANI model, export, FASTA indexing, and CLI end-to-end flows."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kspider_tpu.core import fasta_index
+from kspider_tpu.models import ani
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_containment_to_ani():
+    assert ani.containment_to_ani(0.0, 21) == 0.0
+    assert ani.containment_to_ani(1.0, 21) == 1.0
+    c = 0.5
+    assert np.isclose(ani.containment_to_ani(c, 21), c ** (1 / 21))
+
+
+def test_ani_column_file(tmp_path):
+    prefix = str(tmp_path / "idx")
+    with open(prefix + "_kSpider_pairwise.tsv", "w") as f:
+        f.write("h\n1\t2\t100\t0.5\t0.6\t0.7\n1\t3\t50\t0.2\t0.3\t0.4\n")
+    out = ani.write_ani_column(prefix, 21, 1000)
+    with open(out) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "avg_ani"
+    expect0 = (0.5 ** (1 / 21) + 0.7 ** (1 / 21)) / 2
+    assert np.isclose(float(lines[1]), expect0)
+
+
+def test_fasta_index_grouping(tmp_path, rng):
+    seqs = {
+        f"tr{i}": "".join(rng.choice(list("ACGT"), size=400)) for i in range(6)
+    }
+    fa = tmp_path / "genes.fa"
+    with open(fa, "w") as f:
+        for name, s in seqs.items():
+            f.write(f">{name}\n{s}\n")
+    names = tmp_path / "names.tsv"
+    with open(names, "w") as f:
+        for i, name in enumerate(seqs):
+            f.write(f"{name}\tgene{i // 2}\n")  # two records per group
+    prefix = str(tmp_path / "idx")
+    index = fasta_index.index_fasta(str(fa), str(names), 21, prefix)
+    assert index.names == ["gene0", "gene1", "gene2"]
+    from kspider_tpu.core import hashing
+
+    expect = np.unique(
+        np.concatenate(
+            [
+                hashing.kmer_hashes_integer(seqs["tr0"], 21),
+                hashing.kmer_hashes_integer(seqs["tr1"], 21),
+            ]
+        )
+    )
+    assert index.group_kmer_count[0] == len(expect)
+    assert os.path.exists(prefix + ".namesMap")
+
+
+def test_skipmer_validation(tmp_path):
+    with pytest.raises(ValueError):
+        fasta_index._skipmer_codes("ACGTACGT", 3, 2, 9)  # n < m
+
+
+def test_skipmer_mn_equal_is_kmer(rng):
+    # m == n means every base used: skipmers == contiguous k-mers
+    seq = "".join(rng.choice(list("ACGT"), size=200))
+    from kspider_tpu.core import hashing
+
+    sk = fasta_index._skipmer_codes(seq, 3, 3, 9)
+    _, km = hashing.canonical_kmers(seq, 9)
+    assert np.array_equal(sk, km)
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    # disable any TPU-tunnel sitecustomize so the CPU platform wins
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    return subprocess.run(
+        [sys.executable, "-m", "kspider_tpu"] + args,
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=240,
+    )
+
+
+@pytest.mark.slow
+def test_cli_sketch_to_cluster(tmp_path, rng):
+    # two similar genomes + one unrelated -> sketch -> index -> pairwise ->
+    # cluster through the real CLI
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    mut = list(base)
+    for pos in rng.integers(0, len(base), size=30):
+        mut[pos] = "ACGT"[int(rng.integers(4))]
+    other = "".join(rng.choice(list("ACGT"), size=3000))
+    for name, s in [("a", base), ("b", "".join(mut)), ("c", other)]:
+        (tmp_path / f"{name}.fa").write_text(f">{name}\n{s}\n")
+
+    sk = tmp_path / "sketches"
+    sk.mkdir()
+    for name in "abc":
+        r = _run_cli(
+            ["sketch", "-k", "21", "--fastx", f"{name}.fa", "-o",
+             f"sketches/{name}"],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr
+    r = _run_cli(["index", "--dir", "sketches", "-k", "21", "-o", "skidx"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = _run_cli(["pairwise", "-i", "skidx", "--cpu"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = _run_cli(["cluster", "-i", "skidx", "-c", "0.5", "--cpu"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    clusters = [
+        set(line.split(","))
+        for line in (tmp_path / "skidx_kSpider_clusters_50.0%.tsv")
+        .read_text()
+        .splitlines()
+        if line
+    ]
+    assert {"a", "b"} in clusters
+    assert {"c"} in clusters

@@ -6,7 +6,6 @@ import jax
 import numpy as np
 
 from kspider_tpu.ops import cc as cc_ops
-from kspider_tpu.ops import pairwise as pw
 from kspider_tpu.parallel import mesh as mesh_lib
 from kspider_tpu.parallel import step as step_lib
 
@@ -24,14 +23,14 @@ def test_dense_cc_matches_edge_cc(rng):
 
 
 def test_single_device_step_consistency():
-    rows, cols, wl, counts, block, n_pad, n_limbs = step_lib.make_example_blocks(
+    bits, wl, counts, block, n_pad, n_limbs = step_lib.make_example_blocks(
         n_samples=64, n_colors=256, block=32, seed=3
     )
     shared, labels = jax.jit(
-        lambda r, c, w, k, cut: step_lib.single_device_step(
-            r, c, w, k, cut, block=block, n_pad=n_pad, n_limbs=n_limbs
+        lambda b, w, k, cut: step_lib.single_device_step(
+            b, w, k, cut, block=block, n_pad=n_pad, n_limbs=n_limbs
         )
-    )(rows, cols, wl, counts, 0.01)
+    )(bits, wl, counts, 0.01)
     shared = np.asarray(shared)
     labels = np.asarray(labels)
     assert shared.shape == (64, 64)
@@ -48,14 +47,14 @@ def test_single_device_step_consistency():
 
 def test_sharded_step_matches_single():
     mesh = mesh_lib.make_mesh(8)
-    rows, cols, wl, counts, block, n_pad, n_limbs = step_lib.make_example_blocks(
+    bits, wl, counts, block, n_pad, n_limbs = step_lib.make_example_blocks(
         n_samples=64, n_colors=512, block=8, seed=5
     )
     s1, l1 = step_lib.single_device_step(
-        rows, cols, wl, counts, 0.02, block=block, n_pad=n_pad, n_limbs=n_limbs
+        bits, wl, counts, 0.02, block=block, n_pad=n_pad, n_limbs=n_limbs
     )
     s2, l2 = step_lib.sharded_step(
-        mesh, rows, cols, wl, counts, 0.02, block, n_pad, n_limbs
+        mesh, bits, wl, counts, 0.02, block, n_pad, n_limbs
     )
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     assert np.array_equal(np.asarray(l1), np.asarray(l2))

@@ -24,7 +24,6 @@ the identical input: the native C++/OpenMP engine (native/) if built,
 else the vectorized numpy engine.
 """
 
-import functools
 import json
 import sys
 import time
@@ -35,7 +34,7 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 N_SAMPLES = 1024
 N_COLORS = 1 << 17
-BLOCK = 1024
+BLOCK = 4096  # colors per device block (best measured for the XLA engine)
 N_LIMBS = 2  # weights < 128**2
 
 
@@ -57,91 +56,74 @@ def make_degrees_and_weights(seed=42):
     return degrees, weights
 
 
-def device_inputs(degrees, w_limbs):
-    """Build the packed kernel inputs on device; only O(100KB) H2D."""
-    import jax
-    import jax.numpy as jnp
-
-    num_blocks = N_COLORS // BLOCK
-    total_postings = int(degrees.sum())
-    per_block = degrees.reshape(num_blocks, BLOCK)
-    p_max = int(per_block.sum(axis=1).max())
-
-    # rows: within-block row index repeated by degree, padded with BLOCK
-    rows = np.full((num_blocks, p_max), BLOCK, dtype=np.int32)
-    for b in range(num_blocks):
-        reps = np.repeat(np.arange(BLOCK, dtype=np.int32), per_block[b])
-        rows[b, : len(reps)] = reps
-    rows = jax.device_put(rows)  # ~num_blocks*p_max*4 bytes; see note below
-
-    @functools.partial(jax.jit, static_argnames=("shape",))
-    def gen_cols(key, shape):
-        return jax.random.randint(key, shape, 0, N_SAMPLES, dtype=jnp.int32)
-
-    cols = gen_cols(jax.random.PRNGKey(0), (num_blocks, p_max))
-    wl = jax.device_put(w_limbs.reshape(num_blocks, BLOCK, N_LIMBS))
-    return rows, cols, wl, total_postings
+def make_postings(degrees, seed=0):
+    rng = np.random.default_rng(seed)
+    offsets = np.zeros(N_COLORS + 1, dtype=np.int64)
+    np.cumsum(degrees.astype(np.int64), out=offsets[1:])
+    members = rng.integers(0, N_SAMPLES, size=int(offsets[-1])).astype(np.int64)
+    return offsets, members
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
+    from kspider_tpu.ops import bitmask as bm
     from kspider_tpu.ops import pairwise as pw
 
     degrees, weights = make_degrees_and_weights()
     w_limbs = pw.weight_limbs(weights)
     assert w_limbs.shape[1] == N_LIMBS
+    offsets, members = make_postings(degrees)
 
-    rows_d, cols_d, wl_d, total_postings = device_inputs(degrees, w_limbs)
+    bits = bm.pack_bitmask_blocks(offsets, members, N_SAMPLES, BLOCK)
+    nb = bits.shape[0]
+    wl = np.zeros((nb * BLOCK, N_LIMBS), dtype=np.int8)
+    wl[:N_COLORS] = w_limbs
+    wl = wl.reshape(nb, BLOCK, N_LIMBS)
+    bits_d = jax.device_put(bits)
+    wl_d = jax.device_put(wl)
+    jax.block_until_ready((bits_d, wl_d))
 
     # Timing protocol: the tunneled runtime can report async completion
     # before execution finishes, so we chain ITERS kernel executions inside
     # one jit ending in a scalar reduce and force a host sync with int().
     # Distinct inputs per call defeat any result caching.
-    import jax.numpy as jnp
-
     ITERS = 5
 
     @jax.jit
-    def chained(rows, cols, wlb):
+    def chained(b, wlb):
         def body(i, tot):
-            c = jnp.mod(cols + i, N_SAMPLES)
-            a = pw._cooccurrence_blocks.__wrapped__(
-                rows, c, wlb, BLOCK, N_SAMPLES, N_LIMBS
+            bb = jnp.roll(b, i, axis=0)
+            a = bm.cooccurrence_bitmask_blocks.__wrapped__(
+                bb, wlb, BLOCK, N_SAMPLES, N_LIMBS
             )
             return tot + jnp.sum(a, dtype=jnp.int32)
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-    int(chained(rows_d, cols_d, wl_d))  # compile + warm
+    int(chained(bits_d, wl_d))  # compile + warm
     times = []
-    for k in (3, 7, 11):
-        c = jnp.mod(cols_d + k, N_SAMPLES)
+    for k in (1, 2, 3):
+        b2 = jnp.roll(bits_d, k, axis=1)
         t0 = time.perf_counter()
-        int(chained(rows_d, c, wl_d))
+        int(chained(b2, wl_d))
         times.append((time.perf_counter() - t0) / ITERS)
     t_tpu = min(times)
 
-    acc = pw._cooccurrence_blocks(
-        rows_d, cols_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS
+    acc = bm.cooccurrence_bitmask_blocks(
+        bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS
     )
 
     # ---- exactness check against the host engine (outside timing) ----
-    rows_h = np.asarray(rows_d)
-    cols_h = np.asarray(cols_d)
     acc_h = np.asarray(acc).astype(np.int64)
     s_tpu = acc_h[0] + 128 * acc_h[1]
     np.fill_diagonal(s_tpu, 0)
 
-    # reconstruct CSR from the packed blocks (dedupe within color: the
-    # device generator can emit duplicate members; scatter-set collapses
-    # them, so the host side must too)
-    num_blocks = N_COLORS // BLOCK
-    color_of = rows_h + (np.arange(num_blocks, dtype=np.int64)[:, None] * BLOCK)
-    flat_color = color_of.reshape(-1)
-    flat_member = cols_h.reshape(-1)
-    valid = (rows_h != BLOCK).reshape(-1)
-    flat_color, flat_member = flat_color[valid], flat_member[valid]
+    # dedupe (color, member) pairs on host: a color is a set, and the
+    # bitmask packing ORs duplicates away; mirror that for the host engine
+    flat_color = np.repeat(np.arange(N_COLORS, dtype=np.int64), np.diff(offsets))
+    flat_member = members
     order = np.lexsort((flat_member, flat_color))
     flat_color, flat_member = flat_color[order], flat_member[order]
     keep = np.concatenate(

@@ -179,6 +179,21 @@ def build_index_from_hash_sets(
 
     hashes = np.concatenate(chunks)
     gids = np.concatenate(gid_chunks)
+
+    # native fast path for large posting sets
+    if len(hashes) >= 1_000_000:
+        try:
+            from kspider_tpu.io import native
+
+            if native.available():
+                offsets, members, class_counts = native.build_colors(hashes, gids)
+                return _finish_index(
+                    names, counts, offsets, members, class_counts,
+                    ksize, hash_mode, slicing_mode, params,
+                )
+        except Exception:
+            pass
+
     order = np.lexsort((gids, hashes))
     hashes = hashes[order]
     gids = gids[order]
@@ -201,7 +216,17 @@ def build_index_from_hash_sets(
     offsets, members, class_counts = group_runs_into_classes(
         run_starts, run_lengths, gids
     )
+    return _finish_index(
+        names, counts, offsets, members, class_counts,
+        ksize, hash_mode, slicing_mode, params,
+    )
 
+
+def _finish_index(
+    names, counts, offsets, members, class_counts,
+    ksize, hash_mode, slicing_mode, params,
+) -> ColorIndex:
+    n = len(names)
     # reference-compatible color ids: singleton class {g} -> groupID g+1;
     # multi-member classes -> N+1, N+2, ... in canonical class order.
     degrees = np.diff(offsets)

@@ -78,6 +78,18 @@ def write_pairwise_tsv(
 ) -> int:
     """Emit ``{p}_kSpider_pairwise.tsv``; returns the number of pair rows."""
     n = index.num_groups
+    counts64 = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
+    try:
+        from kspider_tpu.io import native
+
+        if native.available():
+            native.write_pairwise_tsv(
+                prefix + "_kSpider_pairwise.tsv", shared, counts64
+            )
+            iu, ju = np.triu_indices(n, k=1)
+            return int((shared[iu, ju] > 0).sum())
+    except Exception:
+        pass
     iu, ju = np.triu_indices(n, k=1)
     s = shared[iu, ju]
     nz = s > 0

@@ -70,6 +70,18 @@ def _try_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.ks_omp_max_threads.restype = ctypes.c_int
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.ks_build_colors.restype = ctypes.c_int
+        lib.ks_build_colors.argtypes = [
+            u64p, i32p, ctypes.c_int64,
+            ctypes.POINTER(i64p), ctypes.POINTER(i32p), ctypes.POINTER(i64p),
+            i64p,
+        ]
+        lib.ks_write_pairwise_tsv.restype = ctypes.c_int
+        lib.ks_write_pairwise_tsv.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int32, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -137,6 +149,60 @@ def read_bin(path: str) -> np.ndarray:
     hashes = np.ctypeslib.as_array(out_p, shape=(n,)).astype(np.uint64, copy=True)
     lib.ks_free(out_p)
     return hashes
+
+
+def build_colors(hashes: np.ndarray, gids: np.ndarray):
+    """Sort-based color-class build (native counterpart of
+    core/index.group_runs_into_classes over raw postings).
+
+    Returns (class_offsets i64[C+1], class_members i32[P], class_counts
+    i64[C]) in canonical (degree, members) order.
+    """
+    lib = _try_load()
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    gids = np.ascontiguousarray(gids, dtype=np.int32)
+    offs_p = ctypes.POINTER(ctypes.c_int64)()
+    mems_p = ctypes.POINTER(ctypes.c_int32)()
+    counts_p = ctypes.POINTER(ctypes.c_int64)()
+    n_classes = ctypes.c_int64()
+    rc = lib.ks_build_colors(
+        _as_u64p(hashes),
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(hashes),
+        ctypes.byref(offs_p),
+        ctypes.byref(mems_p),
+        ctypes.byref(counts_p),
+        ctypes.byref(n_classes),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native build_colors failed with code {rc}")
+    c = n_classes.value
+    offsets = np.ctypeslib.as_array(offs_p, shape=(c + 1,)).astype(np.int64, copy=True)
+    members = np.ctypeslib.as_array(mems_p, shape=(int(offsets[-1]),)).astype(
+        np.int32, copy=True
+    ) if offsets[-1] else np.empty(0, dtype=np.int32)
+    counts = np.ctypeslib.as_array(counts_p, shape=(c,)).astype(
+        np.int64, copy=True
+    ) if c else np.empty(0, dtype=np.int64)
+    for p in (offs_p, mems_p, counts_p):
+        lib.ks_free(p)
+    return offsets, members, counts
+
+
+def write_pairwise_tsv(path: str, s: np.ndarray, kmer_counts: np.ndarray) -> None:
+    """Emit the pairwise TSV with true C float formatting (%g, 6 sig
+    digits) — identical to the reference's ostream output."""
+    lib = _try_load()
+    s = np.ascontiguousarray(s, dtype=np.int64)
+    counts = np.ascontiguousarray(kmer_counts, dtype=np.int64)
+    rc = lib.ks_write_pairwise_tsv(
+        path.encode(),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        s.shape[0],
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise IOError(f"native write_pairwise_tsv failed with code {rc}")
 
 
 def shared_kmer_matrix(

@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 #include <omp.h>
@@ -341,5 +342,144 @@ void ks_pairwise_dense(const int64_t* offsets, const int32_t* members,
 }
 
 int ks_omp_max_threads() { return omp_get_max_threads(); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Color-class build: sort-based derivation of the final color state
+// (the vectorized-native counterpart of core/index.py; replaces the
+// reference's sequential color algorithm src/sourmash_indexing.cpp:190-260)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Input: n_postings (hash, gid) pairs.  Output (all malloc'd, ks_free):
+//   class_offsets  i64[n_classes+1]
+//   class_members  i32[sum degrees]
+//   class_counts   i64[n_classes]
+// Classes are canonically ordered by (degree, members lexicographic).
+// Duplicate (hash, gid) pairs are deduplicated.
+int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
+                    int64_t n_postings, int64_t** class_offsets_out,
+                    int32_t** class_members_out, int64_t** class_counts_out,
+                    int64_t* n_classes_out) {
+    if (n_postings == 0) {
+        *class_offsets_out = (int64_t*)malloc(sizeof(int64_t));
+        (*class_offsets_out)[0] = 0;
+        *class_members_out = (int32_t*)malloc(1);
+        *class_counts_out = (int64_t*)malloc(1);
+        *n_classes_out = 0;
+        return 0;
+    }
+    // sort postings by (hash, gid)
+    std::vector<std::pair<uint64_t, int32_t>> p(n_postings);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_postings; i++) p[i] = {hashes[i], gids[i]};
+    std::sort(p.begin(), p.end());
+    p.erase(std::unique(p.begin(), p.end()), p.end());
+
+    // runs of equal hash -> member tuples; dedupe tuples via a hash map
+    // keyed by FNV over the member list, with exact verification chains.
+    struct Class {
+        std::vector<int32_t> members;
+        int64_t count = 0;
+    };
+    std::vector<Class> classes;
+    // open-addressing map: key hash -> indices into classes
+    std::unordered_multimap<uint64_t, size_t> lookup;
+    lookup.reserve(p.size() / 2);
+
+    std::vector<int32_t> run;
+    size_t i = 0, n = p.size();
+    while (i < n) {
+        size_t j = i;
+        run.clear();
+        uint64_t h = p[i].first;
+        while (j < n && p[j].first == h) run.push_back(p[j++].second);
+        // FNV-1a over the member ints
+        uint64_t key = 1469598103934665603ULL;
+        for (int32_t m : run) {
+            key ^= (uint64_t)(uint32_t)m;
+            key *= 1099511628211ULL;
+        }
+        key ^= run.size();
+        bool found = false;
+        auto range = lookup.equal_range(key);
+        for (auto it = range.first; it != range.second; ++it) {
+            if (classes[it->second].members == run) {
+                classes[it->second].count++;
+                found = true;
+                break;
+            }
+        }
+        if (!found) {
+            lookup.emplace(key, classes.size());
+            classes.push_back({run, 1});
+        }
+        i = j;
+    }
+
+    // canonical order: (degree, members lexicographic)
+    std::vector<size_t> order(classes.size());
+    for (size_t k = 0; k < order.size(); k++) order[k] = k;
+    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+        if (classes[a].members.size() != classes[b].members.size())
+            return classes[a].members.size() < classes[b].members.size();
+        return classes[a].members < classes[b].members;
+    });
+
+    int64_t n_classes = (int64_t)classes.size();
+    int64_t total_members = 0;
+    for (auto& c : classes) total_members += (int64_t)c.members.size();
+    auto* offs = (int64_t*)malloc(sizeof(int64_t) * (n_classes + 1));
+    auto* mems = (int32_t*)malloc(sizeof(int32_t) * std::max<int64_t>(1, total_members));
+    auto* counts = (int64_t*)malloc(sizeof(int64_t) * std::max<int64_t>(1, n_classes));
+    offs[0] = 0;
+    for (int64_t k = 0; k < n_classes; k++) {
+        const Class& c = classes[order[k]];
+        offs[k + 1] = offs[k] + (int64_t)c.members.size();
+        memcpy(mems + offs[k], c.members.data(),
+               c.members.size() * sizeof(int32_t));
+        counts[k] = c.count;
+    }
+    *class_offsets_out = offs;
+    *class_members_out = mems;
+    *class_counts_out = counts;
+    *n_classes_out = n_classes;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Pairwise TSV emission with C++ float formatting — by construction
+// identical to the reference's ostream output (src/pairwise.cpp:242-274).
+// ---------------------------------------------------------------------------
+
+int ks_write_pairwise_tsv(const char* path, const int64_t* s, int32_t n,
+                          const int64_t* kmer_counts) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 1;
+    setvbuf(f, nullptr, _IOFBF, 1 << 20);
+    fputs("source_1\tsource_2\tshared_kmers\tmin_containment\tavg_containment\tmax_containment\n", f);
+    char buf[64];
+    for (int32_t a = 0; a < n; a++) {
+        const int64_t* row = s + (size_t)a * n;
+        for (int32_t b = a + 1; b < n; b++) {
+            int64_t shared = row[b];
+            if (shared <= 0) continue;
+            float c12 = (float)shared / (float)(uint32_t)kmer_counts[b];
+            float c21 = (float)shared / (float)(uint32_t)kmer_counts[a];
+            float cmin = c12 < c21 ? c12 : c21;
+            float cavg = (float)((c12 + c21) / 2.0);
+            float cmax = c12 > c21 ? c12 : c21;
+            // %g with 6 significant digits == default ostream float format
+            int len = snprintf(buf, sizeof(buf), "%d\t%d\t%lld\t%g\t%g\t%g\n",
+                               a + 1, b + 1, (long long)shared,
+                               (double)cmin, (double)cavg, (double)cmax);
+            fwrite(buf, 1, (size_t)len, f);
+        }
+    }
+    fclose(f);
+    return 0;
+}
 
 }  // extern "C"

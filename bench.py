@@ -34,7 +34,8 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 N_SAMPLES = 1024
 N_COLORS = 1 << 17
-BLOCK = 4096  # colors per device block (best measured for the XLA engine)
+BLOCK = 1024  # colors per device block (best measured for the Pallas engine)
+TILE = 1024
 N_LIMBS = 2  # weights < 128**2
 
 
@@ -66,37 +67,37 @@ def make_postings(degrees, seed=0):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
-    from kspider_tpu.ops import bitmask as bm
     from kspider_tpu.ops import pairwise as pw
+    from kspider_tpu.ops import pallas_pairwise as pp
 
     degrees, weights = make_degrees_and_weights()
     w_limbs = pw.weight_limbs(weights)
     assert w_limbs.shape[1] == N_LIMBS
     offsets, members = make_postings(degrees)
 
-    bits = bm.pack_bitmask_blocks(offsets, members, N_SAMPLES, BLOCK)
-    nb = bits.shape[0]
-    wl = np.zeros((nb * BLOCK, N_LIMBS), dtype=np.int8)
-    wl[:N_COLORS] = w_limbs
-    wl = wl.reshape(nb, BLOCK, N_LIMBS)
-    bits_d = jax.device_put(bits)
-    wl_d = jax.device_put(wl)
+    bits_t, wl_t = pp.pack_inputs(offsets, members, w_limbs, N_SAMPLES, BLOCK)
+    bits_d = jax.device_put(bits_t)
+    wl_d = jax.device_put(wl_t)
     jax.block_until_ready((bits_d, wl_d))
 
     # Timing protocol: the tunneled runtime can report async completion
     # before execution finishes, so we chain ITERS kernel executions inside
     # one jit ending in a scalar reduce and force a host sync with int().
     # Distinct inputs per call defeat any result caching.
-    ITERS = 5
+    ITERS = 20
 
     @jax.jit
     def chained(b, wlb):
         def body(i, tot):
             bb = jnp.roll(b, i, axis=0)
-            a = bm.cooccurrence_bitmask_blocks.__wrapped__(
-                bb, wlb, BLOCK, N_SAMPLES, N_LIMBS
+            a = pp.cooccurrence_pallas.__wrapped__(
+                bb, wlb, BLOCK, N_SAMPLES, N_LIMBS, tile=TILE
             )
             return tot + jnp.sum(a, dtype=jnp.int32)
 
@@ -105,14 +106,14 @@ def main():
     int(chained(bits_d, wl_d))  # compile + warm
     times = []
     for k in (1, 2, 3):
-        b2 = jnp.roll(bits_d, k, axis=1)
+        b2 = jnp.roll(bits_d, k, axis=2)
         t0 = time.perf_counter()
         int(chained(b2, wl_d))
         times.append((time.perf_counter() - t0) / ITERS)
     t_tpu = min(times)
 
-    acc = bm.cooccurrence_bitmask_blocks(
-        bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS
+    acc = pp.cooccurrence_pallas(
+        bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS, tile=TILE
     )
 
     # ---- exactness check against the host engine (outside timing) ----

@@ -147,7 +147,9 @@ def shared_kmer_matrix(
     (postings scatter + matmul; kept for comparison/fallback).
     """
     if engine == "auto":
-        engine = "bitmask"
+        # fused Pallas kernel on real accelerators; XLA bitmask engine on
+        # CPU (Pallas would run interpreted there)
+        engine = "bitmask" if jax.default_backend() == "cpu" else "pallas"
     if engine == "bitmask":
         from kspider_tpu.ops.bitmask import shared_kmer_matrix_bitmask
 

@@ -150,13 +150,30 @@ def pack_inputs(
     return bits_t, wl_t
 
 
+def auto_tile(n_limbs: int, block: int = 1024) -> int:
+    """Largest 128-multiple tile whose VMEM working set fits.
+
+    Empirical budget on v5e (16MB VMEM): the int32 accumulator tile
+    (4*L*tile^2) must stay within ~8MB alongside the unpack/scale
+    intermediates (~tile*block int32s).
+    """
+    budget = 8 * 1024 * 1024
+    tile = 128
+    while tile < 1024:
+        nxt = tile + 128
+        if 4 * n_limbs * nxt * nxt > budget:
+            break
+        tile = nxt
+    return tile
+
+
 def shared_kmer_matrix_pallas(
     offsets: np.ndarray,
     members: np.ndarray,
     weights: np.ndarray,
     n: int,
-    block: int = 4096,
-    tile: int = 512,
+    block: int = 1024,
+    tile: int = None,
     drop_singletons: bool = True,
     compute_dtype=jnp.int8,
     interpret: bool = None,
@@ -186,10 +203,12 @@ def shared_kmer_matrix_pallas(
     new_members = members[gather]
     new_weights = weights[keep]
 
-    n_pad = max(tile, -(-n // tile) * tile)
     w_limbs = pw.weight_limbs(new_weights)
     n_limbs = w_limbs.shape[1]
     num_colors = len(new_weights)
+    if tile is None:
+        tile = auto_tile(n_limbs, block)
+    n_pad = max(tile, -(-n // tile) * tile)
 
     total = np.zeros((n_pad, n_pad), dtype=np.int64)
     super_size = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)

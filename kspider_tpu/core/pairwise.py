@@ -134,7 +134,11 @@ def run_pairwise(
 
     t0 = time.perf_counter()
     if index is None:
-        index = artifacts.load_index_artifacts(prefix)
+        from kspider_tpu.io import npz_index
+
+        index = npz_index.load(prefix)
+        if index is None:
+            index = artifacts.load_index_artifacts(prefix)
     if echo_timers:
         print(f"mapping colors to groups: {time.perf_counter() - t0:.6g} secs")
 

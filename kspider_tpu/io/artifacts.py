@@ -26,8 +26,12 @@ from kspider_tpu.core.index import ColorIndex
 from kspider_tpu.io import phmap
 
 
-def write_index_artifacts(prefix: str, index: ColorIndex) -> None:
+def write_index_artifacts(prefix: str, index: ColorIndex, npz_cache: bool = True) -> None:
     n = index.num_groups
+    if npz_cache:
+        from kspider_tpu.io import npz_index
+
+        npz_index.save(prefix, index)
 
     # (a) groupID -> kmerCount, omitting never-ingested groups
     ingested = np.flatnonzero(index.group_kmer_count >= 0)

@@ -61,9 +61,17 @@ def connected_components(
         return np.zeros(0, dtype=np.int32)
     if len(edges_src) == 0:
         return np.arange(n, dtype=np.int32)
-    src = jnp.asarray(edges_src, dtype=jnp.int32)
-    dst = jnp.asarray(edges_dst, dtype=jnp.int32)
-    labels = _cc_labels(src, dst, jnp.zeros(n, dtype=jnp.int8))
+    # pad the edge list to the next power of two with (0, 0) self-loops so
+    # recompilation happens per size bucket, not per exact edge count
+    e = len(edges_src)
+    e_pad = 1 << (e - 1).bit_length()
+    src = np.zeros(e_pad, dtype=np.int32)
+    dst = np.zeros(e_pad, dtype=np.int32)
+    src[:e] = edges_src
+    dst[:e] = edges_dst
+    labels = _cc_labels(
+        jnp.asarray(src), jnp.asarray(dst), jnp.zeros(n, dtype=jnp.int8)
+    )
     return np.asarray(labels)
 
 

@@ -417,6 +417,92 @@ def validate(sig_path, bin_path, ksize):
     print(f"shared_hashes: {shared}")
 
 
+@tools.command(name="validate_bins")
+@click.argument("bins_dir", type=click.Path(exists=True))
+@click.option("-o", "--report", "report_path", default="validate_bins_report.txt", show_default=True)
+def validate_bins(bins_dir, report_path):
+    """Integrity-sweep every .bin in a directory; write a report
+    (reference /root/reference/validate_bins.sh:1-20)."""
+    from kspider_tpu.io import phmap as phmap_io
+
+    ok, bad = 0, 0
+    with open(report_path, "w") as report:
+        for entry in sorted(os.listdir(bins_dir)):
+            if not entry.endswith(".bin"):
+                continue
+            path = os.path.join(bins_dir, entry)
+            try:
+                hashes = phmap_io.read_hash_set(path)
+                report.write(f"{entry}\tVALID_BIN: {len(hashes)}\n")
+                ok += 1
+            except Exception as e:
+                report.write(f"{entry}\tINVALID_BIN: {e}\n")
+                bad += 1
+    print(f"checked {ok + bad} bins: {ok} valid, {bad} invalid -> {report_path}")
+    if bad:
+        raise SystemExit(1)
+
+
+@tools.command(name="dump_kmer_count")
+@click.argument("fastx_path", type=click.Path(exists=True))
+@click.argument("ksize", type=int)
+def dump_kmer_count(fastx_path, ksize):
+    """Print per-k-mer occurrence counts of a FASTX file
+    (capability of the reference's disabled apps/dump_kmer_count.cpp)."""
+    from collections import Counter
+
+    from kspider_tpu.core import hashing
+    from kspider_tpu.io import fastx as fastx_io
+
+    counts = Counter()
+    for _, seq in fastx_io.read_records(fastx_path):
+        counts.update(hashing.kmer_hashes_sourmash(seq, ksize).tolist())
+    for h, c in sorted(counts.items()):
+        print(f"{h}\t{c}")
+
+
+@tools.command(name="normalize")
+@click.option("--r1", type=click.Path(exists=True), required=True)
+@click.option("--r2", type=click.Path(exists=True), required=False)
+@click.option("-k", "--kmer-size", "ksize", required=True, type=int)
+@click.option("--percentile", default=5.0, show_default=True, help="drop k-mers in the lowest count percentile")
+@click.option("--max-kmers", default=100_000_000, show_default=True, help="cap on retained k-mers")
+@click.option("-o", "--output", required=True, help="output .bin path")
+def normalize(r1, r2, ksize, percentile, max_kmers, output):
+    """Count-normalize reads into a hash set: drop the lowest-percentile
+    k-mers by count, cap the total (capability of the reference's disabled
+    apps/normalize_pe.cpp — including fixing its infinite-loop bug)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from kspider_tpu.core import hashing
+    from kspider_tpu.io import fastx as fastx_io
+    from kspider_tpu.io import phmap as phmap_io
+
+    counts = Counter()
+    for path in filter(None, [r1, r2]):
+        for _, seq in fastx_io.read_records(path):
+            counts.update(hashing.kmer_hashes_sourmash(seq, ksize).tolist())
+    if not counts:
+        phmap_io.write_hash_set(output, np.empty(0, dtype=np.uint64))
+        print("no kmers found")
+        return
+    hashes = np.fromiter(counts.keys(), dtype=np.uint64, count=len(counts))
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    order = np.argsort(vals, kind="stable")
+    cutoff_idx = int(np.ceil(len(vals) * percentile / 100.0))
+    cutoff = vals[order[cutoff_idx]] if cutoff_idx < len(vals) else vals.max() + 1
+    keep = hashes[vals >= cutoff]
+    removed = len(hashes) - len(keep)
+    keep = np.sort(keep)[:max_kmers]
+    phmap_io.write_hash_set(output, keep)
+    print(
+        f"kept {len(keep)} kmers (removed {removed} below count {cutoff}, "
+        f"cap {max_kmers})"
+    )
+
+
 @tools.command(name="repr_sketches")
 @click.argument("pairwise_tsv", type=click.Path(exists=True))
 @click.option("--threshold", default=0.20, show_default=True, type=float, help="avg containment threshold")

@@ -389,12 +389,23 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
     std::unordered_multimap<uint64_t, size_t> lookup;
     lookup.reserve(p.size() / 2);
 
+    // singleton runs (one sample owns the hash) are the vast majority;
+    // count them per-gid without touching the class map
+    std::vector<int64_t> singleton_counts;
     std::vector<int32_t> run;
     size_t i = 0, n = p.size();
     while (i < n) {
         size_t j = i;
-        run.clear();
         uint64_t h = p[i].first;
+        if (j + 1 >= n || p[j + 1].first != h) {  // singleton fast path
+            int32_t g = p[j].second;
+            if ((size_t)g >= singleton_counts.size())
+                singleton_counts.resize((size_t)g + 1, 0);
+            singleton_counts[(size_t)g]++;
+            i = j + 1;
+            continue;
+        }
+        run.clear();
         while (j < n && p[j].first == h) run.push_back(p[j++].second);
         // FNV-1a over the member ints
         uint64_t key = 1469598103934665603ULL;
@@ -417,6 +428,12 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
             classes.push_back({run, 1});
         }
         i = j;
+    }
+
+    // fold the singleton tallies into classes
+    for (size_t g = 0; g < singleton_counts.size(); g++) {
+        if (singleton_counts[g])
+            classes.push_back({{(int32_t)g}, singleton_counts[g]});
     }
 
     // canonical order: (degree, members lexicographic)

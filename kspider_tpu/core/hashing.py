@@ -81,8 +81,11 @@ def murmur64(rows: np.ndarray, seed: int = 42) -> np.ndarray:
 
 
 def integer_hash(kmers: np.ndarray, ksize: int) -> np.ndarray:
-    """Invertible Thomas-Wang 64-bit mix masked to 2k bits (MQF-style)."""
-    mask = np.uint64((1 << (2 * ksize)) - 1)
+    """Invertible Thomas-Wang 64-bit mix masked to 2k bits (MQF-style).
+
+    For 2k >= 64 the mask saturates to the full 64-bit space.
+    """
+    mask = np.uint64((1 << min(64, 2 * ksize)) - 1)
     key = np.asarray(kmers, dtype=np.uint64)
     with np.errstate(over="ignore"):
         key = (~key + (key << np.uint64(21))) & mask
@@ -224,7 +227,13 @@ for gi, (_, members) in enumerate(sorted(_DAYHOFF_GROUPS.items())):
 def protein_kmer_codes(
     sequence: str, ksize: int, dayhoff: bool = False
 ) -> np.ndarray:
-    """5-bit packed protein k-mer codes (valid windows only)."""
+    """5-bit packed protein k-mer codes (valid windows only).
+
+    5 bits/residue caps k at 12 (5k <= 64); the reference shares this
+    limit implicitly through its u64 packing.
+    """
+    if ksize > 12:
+        raise ValueError("protein k-mer size must be <= 12 (5-bit packing)")
     table = _DAYHOFF_CODE if dayhoff else _AA_CODE
     raw = np.frombuffer(sequence.encode("ascii"), dtype=np.uint8)
     if len(raw) < ksize:

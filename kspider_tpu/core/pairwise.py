@@ -86,8 +86,7 @@ def write_pairwise_tsv(
             native.write_pairwise_tsv(
                 prefix + "_kSpider_pairwise.tsv", shared, counts64
             )
-            iu, ju = np.triu_indices(n, k=1)
-            return int((shared[iu, ju] > 0).sum())
+            return int((shared > 0).sum()) // 2
     except Exception:
         pass
     iu, ju = np.triu_indices(n, k=1)

@@ -146,7 +146,9 @@ def sketch_protein(
     downsampling threshold derived through the integer hash of the packed
     code (reference: /root/reference/src/fastx_to_kf.cpp:177-199 inserts
     the 5-bit repr, not the hash)."""
-    hash_bits = (ksize * 5) // 2
+    # reference: IntegerHasher(k*5/2) => TW mix masked to 2^(5k) bits,
+    # threshold = hash(2^(k*5/2)) / ratio (/root/reference/src/fastx_to_kf.cpp:177-185)
+    hasher_ksize = (ksize * 5) // 2  # "kSize" arg of IntegerHasher
     total = 0
     inserted = 0
     chunks: List[np.ndarray] = []
@@ -155,7 +157,7 @@ def sketch_protein(
     else:
         max_real = int(
             hashing.integer_hash(
-                np.array([1 << hash_bits], dtype=np.uint64), hash_bits // 2
+                np.array([1 << hasher_ksize], dtype=np.uint64), hasher_ksize
             )[0]
         )
         max_hash = max_real // int(scale)
@@ -163,7 +165,7 @@ def sketch_protein(
         codes = hashing.protein_kmer_codes(seq, ksize, dayhoff=dayhoff)
         total += len(codes)
         if int(scale) > 1:
-            hs = hashing.integer_hash(codes, hash_bits // 2)
+            hs = hashing.integer_hash(codes, hasher_ksize)
             codes = codes[hs < max_hash]
         inserted += len(codes)
         chunks.append(codes)

@@ -141,3 +141,33 @@ def test_protein_codes():
     assert len(day) == 14
     # dayhoff collapses groups -> codes bounded by 6 symbols in 5 bits
     assert int(day.max()) < (1 << 35)
+
+
+def test_protein_sketch_threshold_semantics(tmp_path, rng):
+    """Pins the reference's protein downsampling rule
+    (/root/reference/src/fastx_to_kf.cpp:177-199): threshold =
+    TW(2^(k*5/2)) masked to 2^(5k), applied to the packed code; the packed
+    representation (not the hash) is what gets inserted."""
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    seq = "".join(rng.choice(aas, size=3000))
+    p = tmp_path / "p.fa"
+    p.write_text(f">x\n{seq}\n")
+    k, scale = 10, 4
+    full = sketch.sketch_protein(str(p), k)
+    down = sketch.sketch_protein(str(p), k, scale=scale)
+    hasher_ksize = (k * 5) // 2
+    max_real = int(
+        hashing.integer_hash(
+            np.array([1 << hasher_ksize], dtype=np.uint64), hasher_ksize
+        )[0]
+    )
+    max_hash = max_real // scale
+    hs = hashing.integer_hash(full.hashes, hasher_ksize)
+    expect = np.sort(full.hashes[hs < max_hash])
+    assert np.array_equal(down.hashes, expect)
+    assert 0 < len(down.hashes) < len(full.hashes)
+
+
+def test_protein_ksize_cap():
+    with pytest.raises(ValueError):
+        hashing.protein_kmer_codes("ACDEFGHIKLMNPQRS", 14)

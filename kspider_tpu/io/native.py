@@ -82,6 +82,16 @@ def _try_load() -> Optional[ctypes.CDLL]:
         lib.ks_write_pairwise_tsv.argtypes = [
             ctypes.c_char_p, i64p, ctypes.c_int32, i64p,
         ]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ks_write_color_to_sources.restype = ctypes.c_int
+        lib.ks_write_color_to_sources.argtypes = [
+            ctypes.c_char_p, u64p, i64p, u32p, ctypes.c_int64,
+        ]
+        lib.ks_read_color_to_sources.restype = ctypes.c_int
+        lib.ks_read_color_to_sources.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(u64p), ctypes.POINTER(i64p),
+            ctypes.POINTER(u32p), i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -203,6 +213,52 @@ def write_pairwise_tsv(path: str, s: np.ndarray, kmer_counts: np.ndarray) -> Non
     )
     if rc != 0:
         raise IOError(f"native write_pairwise_tsv failed with code {rc}")
+
+
+def write_color_to_sources(path, colors, offsets, members1) -> None:
+    """Batch writer for _color_to_sources.bin (members are 1-based ids)."""
+    lib = _try_load()
+    colors = np.ascontiguousarray(colors, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    members = np.ascontiguousarray(members1, dtype=np.uint32)
+    rc = lib.ks_write_color_to_sources(
+        str(path).encode(),
+        _as_u64p(colors),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        members.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(colors),
+    )
+    if rc != 0:
+        raise IOError(f"native write_color_to_sources failed with code {rc}")
+
+
+def read_color_to_sources(path):
+    """Batch reader; returns (colors u64, offsets i64, members i64)."""
+    lib = _try_load()
+    colors_p = ctypes.POINTER(ctypes.c_uint64)()
+    offs_p = ctypes.POINTER(ctypes.c_int64)()
+    mems_p = ctypes.POINTER(ctypes.c_uint32)()
+    n = ctypes.c_int64()
+    rc = lib.ks_read_color_to_sources(
+        str(path).encode(), ctypes.byref(colors_p), ctypes.byref(offs_p),
+        ctypes.byref(mems_p), ctypes.byref(n),
+    )
+    if rc != 0:
+        raise IOError(f"native read_color_to_sources failed with code {rc}")
+    c = n.value
+    colors = np.ctypeslib.as_array(colors_p, shape=(max(1, c),))[:c].astype(
+        np.uint64, copy=True
+    )
+    offsets = np.ctypeslib.as_array(offs_p, shape=(c + 1,)).astype(
+        np.int64, copy=True
+    )
+    total = int(offsets[-1])
+    members = np.ctypeslib.as_array(mems_p, shape=(max(1, total),))[:total].astype(
+        np.int64, copy=True
+    )
+    for p in (colors_p, offs_p, mems_p):
+        lib.ks_free(p)
+    return colors, offsets, members
 
 
 def shared_kmer_matrix(

@@ -245,6 +245,13 @@ def read_color_to_sources(path):
     Returns ``(colors u64[C], offsets i64[C+1], members i64[P])`` with each
     color's members sorted ascending.
     """
+    try:
+        from kspider_tpu.io import native
+
+        if native.available():
+            return native.read_color_to_sources(path)
+    except Exception:
+        pass
     colors = []
     member_arrays = []
     with PhmapReader(path) as r:
@@ -266,6 +273,14 @@ def read_color_to_sources(path):
 
 
 def write_color_to_sources(path, colors, offsets, members) -> None:
+    try:
+        from kspider_tpu.io import native
+
+        if native.available():
+            native.write_color_to_sources(path, colors, offsets, members)
+            return
+    except Exception:
+        pass
     with PhmapWriter(path) as w:
         w.save_u64(len(colors))
         for i, c in enumerate(colors):

@@ -500,3 +500,95 @@ int ks_write_pairwise_tsv(const char* path, const int64_t* s, int32_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// _color_to_sources.bin batch IO (record stream of u64 color + nested
+// flat_hash_set<u32> dump; layout documented in kspider_tpu/io/phmap.py)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static uint64_t set_capacity_u32(uint64_t n) { return normalize_capacity(n); }
+
+int ks_write_color_to_sources(const char* path, const uint64_t* colors,
+                              const int64_t* offsets, const uint32_t* members,
+                              int64_t n_colors) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 1;
+    setvbuf(f, nullptr, _IOFBF, 1 << 20);
+    uint64_t count = (uint64_t)n_colors;
+    fwrite(&count, 8, 1, f);
+    std::vector<uint8_t> ctrl;
+    std::vector<uint32_t> slots;
+    for (int64_t c = 0; c < n_colors; c++) {
+        fwrite(&colors[c], 8, 1, f);
+        uint64_t size = (uint64_t)(offsets[c + 1] - offsets[c]);
+        uint64_t cap = set_capacity_u32(size);
+        fwrite(&size, 8, 1, f);
+        fwrite(&cap, 8, 1, f);
+        if (!size) continue;
+        ctrl.assign(cap + 17, 0x80);
+        const uint32_t* seg = members + offsets[c];
+        for (uint64_t i = 0; i < size; i++) ctrl[i] = (uint8_t)(seg[i] & 0x7f);
+        ctrl[cap] = 0xff;
+        for (int i = 0; i < 16; i++) ctrl[cap + 1 + i] = ctrl[i];
+        fwrite(ctrl.data(), 1, ctrl.size(), f);
+        slots.assign(cap, 0);
+        memcpy(slots.data(), seg, size * 4);
+        fwrite(slots.data(), 4, cap, f);
+    }
+    fclose(f);
+    return 0;
+}
+
+// Returns malloc'd arrays; members are sorted ascending per color.
+int ks_read_color_to_sources(const char* path, uint64_t** colors_out,
+                             int64_t** offsets_out, uint32_t** members_out,
+                             int64_t* n_colors_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    uint64_t count = 0;
+    if (fread(&count, 8, 1, f) != 1) { fclose(f); return 2; }
+    std::vector<uint64_t> colors(count);
+    std::vector<int64_t> offsets(count + 1, 0);
+    std::vector<uint32_t> members;
+    std::vector<uint8_t> ctrl;
+    std::vector<uint32_t> slots;
+    for (uint64_t c = 0; c < count; c++) {
+        if (fread(&colors[c], 8, 1, f) != 1) { fclose(f); return 2; }
+        uint64_t first = 0, size = 0, cap = 0;
+        if (fread(&first, 8, 1, f) != 1) { fclose(f); return 2; }
+        if (first >= (~0ULL) - 10) {  // versioned nested dump
+            if (fread(&size, 8, 1, f) != 1) { fclose(f); return 2; }
+        } else {
+            size = first;
+        }
+        if (fread(&cap, 8, 1, f) != 1) { fclose(f); return 2; }
+        size_t start = members.size();
+        if (size) {
+            ctrl.resize(cap + 17);
+            if (fread(ctrl.data(), 1, ctrl.size(), f) != ctrl.size()) {
+                fclose(f);
+                return 2;
+            }
+            slots.resize(cap);
+            if (fread(slots.data(), 4, cap, f) != cap) { fclose(f); return 2; }
+            for (uint64_t i = 0; i < cap; i++)
+                if (ctrl[i] < 0x80) members.push_back(slots[i]);
+            if (members.size() - start != size) { fclose(f); return 3; }
+            std::sort(members.begin() + start, members.end());
+        }
+        offsets[c + 1] = (int64_t)members.size();
+    }
+    fclose(f);
+    *n_colors_out = (int64_t)count;
+    *colors_out = (uint64_t*)malloc(8 * std::max<uint64_t>(1, count));
+    memcpy(*colors_out, colors.data(), 8 * count);
+    *offsets_out = (int64_t*)malloc(8 * (count + 1));
+    memcpy(*offsets_out, offsets.data(), 8 * (count + 1));
+    *members_out = (uint32_t*)malloc(4 * std::max<size_t>(1, members.size()));
+    memcpy(*members_out, members.data(), 4 * members.size());
+    return 0;
+}
+
+}  // extern "C"

@@ -73,3 +73,38 @@ def test_native_tsv_matches_python(tmp_path, rng):
     nat = (tmp_path / "nat.tsv").read_text()
     py = (tmp_path / "py_kSpider_pairwise.tsv").read_text()
     assert nat == py
+
+
+def test_color_to_sources_cross_impl(tmp_path, rng):
+    """python-written files read by native and vice versa."""
+    from kspider_tpu.io import phmap as phmap_io
+
+    colors = np.array([1, 2, 300], dtype=np.uint64)
+    offsets = np.array([0, 2, 3, 7], dtype=np.int64)
+    members = np.array([1, 5, 2, 1, 2, 3, 9], dtype=np.int64)
+
+    # force the pure-python writer
+    p_py = tmp_path / "py.bin"
+    w = phmap_io.PhmapWriter(str(p_py))
+    w.save_u64(len(colors))
+    for i, c in enumerate(colors):
+        w.save_u64(int(c))
+        w.save_flat_table(
+            np.ascontiguousarray(members[offsets[i]:offsets[i+1]], dtype="<u4")
+        )
+    w.close()
+    c1, o1, m1 = native.read_color_to_sources(str(p_py))
+    assert np.array_equal(c1, colors)
+    assert np.array_equal(o1, offsets)
+    assert np.array_equal(np.sort(m1[:2]), np.sort(members[:2]))
+
+    # native writer read by pure-python reader
+    p_nat = tmp_path / "nat.bin"
+    native.write_color_to_sources(str(p_nat), colors, offsets, members)
+    r = phmap_io.PhmapReader(str(p_nat))
+    count = r.load_u64()
+    assert count == 3
+    assert r.load_u64() == 1
+    first_set = r.load_flat_table(np.dtype("<u4"))
+    assert set(first_set.tolist()) == {1, 5}
+    r.close()

@@ -69,20 +69,24 @@ def main():
     names, arrays = make_dataset(args.samples, args.hashes, rng)
     t_gen = time.perf_counter() - t0
     total_postings = sum(len(a) for a in arrays)
+    print(f"dataset gen:      {t_gen:8.3f}s", flush=True)
 
     t0 = time.perf_counter()
     index = build_index_from_hash_sets(names, arrays, ksize=31)
     t_index = time.perf_counter() - t0
+    print(f"index build:      {t_index:8.3f}s  colors={index.num_colors}", flush=True)
 
     tmp = tempfile.mkdtemp()
     prefix = os.path.join(tmp, "scale")
     t0 = time.perf_counter()
     artifacts_io.write_index_artifacts(prefix, index)
     t_artifacts = time.perf_counter() - t0
+    print(f"artifact write:   {t_artifacts:8.3f}s", flush=True)
 
     t0 = time.perf_counter()
     shared = core_pairwise.compute_shared_matrix(index, engine=args.engine)
     t_pairwise = time.perf_counter() - t0
+    print(f"pairwise cold:    {t_pairwise:8.3f}s", flush=True)
     t0 = time.perf_counter()
     shared = core_pairwise.compute_shared_matrix(index, engine=args.engine)
     t_pairwise_warm = time.perf_counter() - t0

@@ -117,11 +117,17 @@ def index(ctx, sketches_dir, sourmash, bins, ksize, output_prefix):
     all_mqf = glob(f"{sketches_dir}/*mqf")
     if len(all_extra) != (len(all_phmap) + len(all_mqf)):
         log.ERROR("Inconsistent sketches files.")
-    log.ERROR(
-        "kProcessor .phmap/.mqf sketch files are not supported by this "
-        "framework (the kProcessor serialization is submodule-private); "
-        "re-sketch with `kspider sketch` (.bin/.sig) or use --sourmash/--bins."
-    )
+    if not all_phmap and not all_mqf:
+        log.ERROR(
+            f"no sketches found in {sketches_dir}; expected .sig, .bin, or "
+            ".phmap files"
+        )
+    log.INFO(f"Indexing sketches in {sketches_dir}.")
+    try:
+        dataset.index_kf_dir(sketches_dir, output_prefix=output_prefix, logger=log)
+    except ValueError as e:
+        log.ERROR(str(e))
+    log.SUCCESS("DONE!")
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,69 @@ def index_sigs_dir(
     return index
 
 
+def index_kf_dir(
+    kfs_dir: str,
+    output_prefix: Optional[str] = None,
+    logger: Optional[Logger] = None,
+    write_artifacts: bool = True,
+) -> ColorIndex:
+    """Index a directory of kProcessor-style ``.phmap`` sketches
+    (best-effort layout decoding; see io/phmap.read_phmap_sketch).
+
+    Mirrors ``index_datasets`` (/root/reference/src/index.cpp:84-409):
+    kSize detected from the first sketch's ``.extra``; one group per file
+    basename; ``.mqf`` frames are not decodable (CQF layout is
+    MQF-internal) and raise.
+    """
+    log = logger or Logger(quiet=True)
+    entries = sorted(os.path.join(kfs_dir, e) for e in os.listdir(kfs_dir))
+    prefixes = []
+    for p in entries:
+        if p.endswith(".mqf"):
+            raise ValueError(
+                f"{p}: .mqf (counting-quotient-filter) sketches are not "
+                "supported — the CQF serialization is MQF-internal; "
+                "re-sketch with `kspider sketch`"
+            )
+        if p.endswith(".phmap"):
+            prefixes.append(p[: -len(".phmap")])
+    if not prefixes:
+        raise FileNotFoundError(f"no .phmap sketches found in {kfs_dir}")
+
+    detected_ksize = 0
+    extra = prefixes[0] + ".extra"
+    if os.path.exists(extra):
+        with open(extra) as f:
+            for line in f:
+                try:
+                    detected_ksize = int(line.strip().split()[0])
+                    break
+                except (ValueError, IndexError):
+                    continue
+    log.INFO(f"Detected kSize: {detected_ksize}")
+
+    names, hash_arrays = [], []
+    for i, pref in enumerate(prefixes):
+        hashes, _counts = phmap_io.read_phmap_sketch(pref)
+        base = os.path.basename(pref)
+        log.INFO(f"Processing {i + 1}/{len(prefixes)} | {base} ({len(hashes)} kmers)")
+        names.append(base)
+        hash_arrays.append(hashes)
+
+    index = build_index_from_hash_sets(
+        names,
+        hash_arrays,
+        ksize=detected_ksize,
+        hash_mode=int(HashingMode.mumur_hasher),
+        slicing_mode=int(SlicingMode.KMERS),
+        params=f"kSize:{detected_ksize}",
+    )
+    if write_artifacts:
+        prefix = output_prefix if output_prefix else dir_prefix_of(kfs_dir)
+        artifacts_io.write_index_artifacts(prefix, index)
+    return index
+
+
 def index_bins_dir(
     bins_dir: str,
     ksize: int,

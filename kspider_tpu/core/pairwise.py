@@ -147,7 +147,18 @@ def run_pairwise(
         print(f"kmer counting: {time.perf_counter() - t0:.6g} secs")
 
     t0 = time.perf_counter()
-    shared = compute_shared_matrix(index, use_tpu=use_tpu, engine=engine)
+    import contextlib
+    import os as _os
+
+    profile_dir = _os.environ.get("KSPIDER_PROFILE")
+    if profile_dir:
+        import jax
+
+        profile_cm = jax.profiler.trace(profile_dir)
+    else:
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        shared = compute_shared_matrix(index, use_tpu=use_tpu, engine=engine)
     if echo_timers:
         print(
             f"pairwise matrix construction: {time.perf_counter() - t0:.6g} secs"

@@ -235,6 +235,38 @@ def write_u64_u64_map(path, keys: np.ndarray, values: np.ndarray) -> None:
         w.save_flat_table(t)
 
 
+def read_phmap_sketch(prefix: str):
+    """Best-effort reader for kProcessor ``.phmap`` sketch files.
+
+    kSpider's sketch stage persists a ``kDataFramePHMAP`` (k-mer hash ->
+    count map) via ``kf->save(prefix)`` (/root/reference/src/fastx_to_kf.cpp:97).
+    The kProcessor submodule is absent from the reference snapshot, so the
+    exact container cannot be confirmed; the natural layout — and the one
+    this reader decodes — is a single ``flat_hash_map<uint64_t, uint64_t>``
+    phmap dump.  Returns ``(hashes u64 sorted, counts u64)`` or raises
+    ValueError when the file does not parse as that layout.
+    """
+    path = prefix + ".phmap" if not str(prefix).endswith(".phmap") else str(prefix)
+    dt = np.dtype([("k", "<u8"), ("v", "<u8")])
+    with PhmapReader(path) as r:
+        try:
+            t = r.load_flat_table(dt)
+            trailing = r.f.read(1)
+        except (EOFError, ValueError) as e:
+            raise ValueError(
+                f"{path}: does not parse as a flat_hash_map<u64,u64> dump "
+                f"({e}); the kProcessor build that wrote it may use a "
+                "different layout — re-sketch with `kspider sketch`"
+            )
+    if trailing:
+        raise ValueError(
+            f"{path}: trailing bytes after the hash-map dump; unsupported "
+            "kProcessor serialization variant"
+        )
+    order = np.argsort(t["k"], kind="stable")
+    return t["k"][order].copy(), t["v"][order].copy()
+
+
 def read_color_to_sources(path):
     """Read ``_color_to_sources.bin``: u64 record count, then per record a
     u64 color id followed by a flat_hash_set<u32> dump of source group ids.

@@ -124,3 +124,40 @@ def test_cli_sketch_to_cluster(tmp_path, rng):
     ]
     assert {"a", "b"} in clusters
     assert {"c"} in clusters
+
+
+def test_index_kf_dir_phmap(tmp_path, rng):
+    """Best-effort kProcessor .phmap reading: write u64->u64 dumps in the
+    expected layout and index them."""
+    import numpy as np
+
+    from kspider_tpu.core import dataset
+    from kspider_tpu.io.phmap import PhmapWriter, read_phmap_sketch
+
+    sets = {}
+    for name in ("s1", "s2"):
+        hashes = np.unique(rng.integers(0, 2**62, size=300, dtype=np.uint64))
+        sets[name] = hashes
+        dt = np.dtype([("k", "<u8"), ("v", "<u8")])
+        t = np.empty(len(hashes), dtype=dt)
+        t["k"] = hashes
+        t["v"] = 1
+        with PhmapWriter(str(tmp_path / f"{name}.phmap")) as w:
+            w.save_flat_table(t)
+        (tmp_path / f"{name}.extra").write_text("21\n1\n1\nkSize:21\n")
+    h, c = read_phmap_sketch(str(tmp_path / "s1"))
+    assert np.array_equal(h, np.sort(sets["s1"]))
+    idx = dataset.index_kf_dir(str(tmp_path), write_artifacts=False)
+    assert idx.names == ["s1", "s2"]
+    assert idx.ksize == 21
+    assert idx.num_kmers == len(np.union1d(sets["s1"], sets["s2"]))
+
+
+def test_read_phmap_sketch_rejects_garbage(tmp_path):
+    import pytest as _pytest
+
+    from kspider_tpu.io.phmap import read_phmap_sketch
+
+    (tmp_path / "bad.phmap").write_bytes(b"\x01\x02\x03")
+    with _pytest.raises((ValueError, EOFError)):
+        read_phmap_sketch(str(tmp_path / "bad"))

@@ -210,24 +210,33 @@ def shared_kmer_matrix_pallas(
         tile = auto_tile(n_limbs, block)
     n_pad = max(tile, -(-n // tile) * tile)
 
+    add = jax.jit(lambda x, y: x + y)
+
     total = np.zeros((n_pad, n_pad), dtype=np.int64)
     super_size = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
+    # within a superblock (int32-exact bound), stream pipeline chunks:
+    # host packing and H2D of chunk k+1 overlap the kernel on chunk k via
+    # async dispatch; the accumulator stays on device, one D2H at the end
+    chunk_colors = 64 * block
     for start in range(0, num_colors, super_size):
         stop = min(start + super_size, num_colors)
-        sl_off = new_offsets[start : stop + 1] - new_offsets[start]
-        sl_mem = new_members[new_offsets[start] : new_offsets[stop]]
-        bits_t, wl_t = pack_inputs(
-            sl_off, sl_mem, w_limbs[start:stop], n_pad, block
-        )
-        acc = np.asarray(
-            cooccurrence_pallas(
+        acc_dev = None
+        for cs in range(start, stop, chunk_colors):
+            ce = min(cs + chunk_colors, stop)
+            sl_off = new_offsets[cs : ce + 1] - new_offsets[cs]
+            sl_mem = new_members[new_offsets[cs] : new_offsets[ce]]
+            bits_t, wl_t = pack_inputs(
+                sl_off, sl_mem, w_limbs[cs:ce], n_pad, block
+            )
+            acc = cooccurrence_pallas(
                 bits_t, wl_t, block, n_pad, n_limbs, tile=tile,
                 compute_dtype=compute_dtype, interpret=interpret,
             )
-        ).astype(np.int64)
+            acc_dev = acc if acc_dev is None else add(acc_dev, acc)
+        acc_h = np.asarray(acc_dev).astype(np.int64)
         scale = 1
         for l in range(n_limbs):
-            total += acc[l] * scale
+            total += acc_h[l] * scale
             scale *= 128
     s = total[:n, :n]
     np.fill_diagonal(s, 0)

@@ -128,6 +128,114 @@ def cooccurrence_pallas(
     )(bits_t, bits_t, w_limbs_t)
 
 
+def _kernel_tri(ti_ref, tj_ref, bits_i_ref, bits_j_ref, wl_ref, out_ref, *,
+                tile, block, n_limbs, compute_dtype):
+    # identical math to _kernel; the (i, j) tile pair comes from the
+    # scalar-prefetched upper-triangle enumeration
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    acc_dtype = jnp.float32 if compute_dtype == jnp.bfloat16 else jnp.int32
+    a_i32 = _unpack_T(bits_i_ref[0], tile, block)
+    a_j32 = _unpack_T(bits_j_ref[0], tile, block)
+    a_i = a_i32.astype(compute_dtype)
+    for l in range(n_limbs):
+        w = wl_ref[0, l, :].astype(jnp.int32)
+        wa_j = (a_j32 * w[None, :]).astype(compute_dtype)
+        s = jax.lax.dot_general(
+            a_i, wa_j,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        out_ref[l, :, :] = out_ref[l, :, :] + s.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "n_pad", "n_limbs", "tile", "compute_dtype", "interpret"),
+)
+def cooccurrence_pallas_tri(
+    bits_t,
+    w_limbs_t,
+    tile_i,
+    tile_j,
+    block: int,
+    n_pad: int,
+    n_limbs: int,
+    tile: int = 512,
+    compute_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """Upper-triangle-only variant: the grid enumerates the nt*(nt+1)/2
+    tile pairs given by the scalar-prefetched ``tile_i``/``tile_j`` index
+    arrays; lower-triangle output tiles are never computed (the caller
+    mirrors them on host).  ~2x fewer MXU passes for multi-tile N.
+    """
+    num_blocks = bits_t.shape[0]
+    num_pairs = tile_i.shape[0]
+    t8 = tile // 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_pairs, num_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t8, block),
+                lambda p, b, ti, tj: (b, ti[p], 0),
+            ),
+            pl.BlockSpec(
+                (1, t8, block),
+                lambda p, b, ti, tj: (b, tj[p], 0),
+            ),
+            pl.BlockSpec(
+                (1, n_limbs, block),
+                lambda p, b, ti, tj: (b, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_limbs, tile, tile),
+            lambda p, b, ti, tj: (0, ti[p], tj[p]),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_tri, tile=tile, block=block, n_limbs=n_limbs,
+            compute_dtype=compute_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_limbs, n_pad, n_pad), jnp.int32),
+        interpret=interpret,
+    )(tile_i, tile_j, bits_t, bits_t, w_limbs_t)
+
+
+def upper_triangle_tiles(nt: int):
+    """(tile_i, tile_j) int32 arrays enumerating i <= j tile pairs,
+    ordered so consecutive pairs share the output tile's row when
+    possible (plain row-major upper triangle)."""
+    pairs = [(i, j) for i in range(nt) for j in range(i, nt)]
+    ti = np.array([p[0] for p in pairs], dtype=np.int32)
+    tj = np.array([p[1] for p in pairs], dtype=np.int32)
+    return ti, tj
+
+
+def mirror_upper_tiles(s: np.ndarray, tile: int) -> np.ndarray:
+    """Fill the lower-triangle tiles from the transposed upper tiles.
+
+    The diagonal tiles are computed in full by the kernel; strictly-lower
+    tiles are uninitialized and replaced here."""
+    n_pad = s.shape[0]
+    nt = n_pad // tile
+    for i in range(1, nt):
+        for j in range(i):
+            s[i * tile : (i + 1) * tile, j * tile : (j + 1) * tile] = s[
+                j * tile : (j + 1) * tile, i * tile : (i + 1) * tile
+            ].T
+    return s
+
+
 def pack_inputs(
     offsets: np.ndarray,
     members: np.ndarray,
@@ -150,14 +258,15 @@ def pack_inputs(
     return bits_t, wl_t
 
 
-def auto_tile(n_limbs: int, block: int = 1024) -> int:
+def auto_tile(n_limbs: int, block: int = 1024, budget: int = 8 * 1024 * 1024) -> int:
     """Largest 128-multiple tile whose VMEM working set fits.
 
     Empirical budget on v5e (16MB VMEM): the int32 accumulator tile
     (4*L*tile^2) must stay within ~8MB alongside the unpack/scale
-    intermediates (~tile*block int32s).
+    intermediates (~tile*block int32s); the triangular variant's scalar
+    prefetch buffers shave another ~1MB, so multi-tile runs pass a
+    tighter budget.
     """
-    budget = 8 * 1024 * 1024
     tile = 128
     while tile < 1024:
         nxt = tile + 128
@@ -208,6 +317,11 @@ def shared_kmer_matrix_pallas(
     num_colors = len(new_weights)
     if tile is None:
         tile = auto_tile(n_limbs, block)
+        if n > tile:
+            # multi-tile => triangular kernel: scalar-prefetch buffers and
+            # the int32 unpack intermediates (~9 bytes per tile*block
+            # element) leave less room for the accumulator tile
+            tile = min(768, auto_tile(n_limbs, block, budget=5 * 1024 * 1024))
     n_pad = max(tile, -(-n // tile) * tile)
 
     add = jax.jit(lambda x, y: x + y)
@@ -228,16 +342,26 @@ def shared_kmer_matrix_pallas(
             bits_t, wl_t = pack_inputs(
                 sl_off, sl_mem, w_limbs[cs:ce], n_pad, block
             )
-            acc = cooccurrence_pallas(
-                bits_t, wl_t, block, n_pad, n_limbs, tile=tile,
-                compute_dtype=compute_dtype, interpret=interpret,
-            )
+            nt = n_pad // tile
+            if nt > 1:
+                ti, tj = upper_triangle_tiles(nt)
+                acc = cooccurrence_pallas_tri(
+                    bits_t, wl_t, ti, tj, block, n_pad, n_limbs, tile=tile,
+                    compute_dtype=compute_dtype, interpret=interpret,
+                )
+            else:
+                acc = cooccurrence_pallas(
+                    bits_t, wl_t, block, n_pad, n_limbs, tile=tile,
+                    compute_dtype=compute_dtype, interpret=interpret,
+                )
             acc_dev = acc if acc_dev is None else add(acc_dev, acc)
         acc_h = np.asarray(acc_dev).astype(np.int64)
         scale = 1
         for l in range(n_limbs):
             total += acc_h[l] * scale
             scale *= 128
+    if n_pad // tile > 1:
+        total = mirror_upper_tiles(total, tile)
     s = total[:n, :n]
     np.fill_diagonal(s, 0)
     return s

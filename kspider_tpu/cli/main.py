@@ -233,9 +233,11 @@ def _validate_names(log, names_file):
 @click.option("-t", "--threads", "user_threads", default=1, required=False, type=int, help="number of cores (accepted for compatibility; the TPU engine ignores it)")
 @click.option("-s", "--scale", "sourmash_scale", required=False, default=0, type=int, help="scale used in creating sourmash sigs (only when using --estimate-ani)")
 @click.option("--cpu", "force_cpu", is_flag=True, default=False, help="use the host (numpy) engine instead of the TPU kernel")
-@click.option("--engine", "engine", default="auto", show_default=True, type=click.Choice(["auto", "bitmask", "pallas", "scatter"]), help="TPU co-occurrence engine variant")
+@click.option("--engine", "engine", default="auto", show_default=True, type=click.Choice(["auto", "bitmask", "pallas", "scatter", "tiled"]), help="TPU co-occurrence engine variant (tiled = panel-streamed, any N)")
+@click.option("--panel", "panel", default=4096, show_default=True, type=int, help="sample-panel width for the tiled engine")
+@click.option("--min-shared", "min_shared", default=1, show_default=True, type=int, help="emit only pairs with at least this many shared k-mers (tiled engine)")
 @click.pass_context
-def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine):
+def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine, panel, min_shared):
     """Generate containment pairwise matrix."""
     from kspider_tpu.core import pairwise as core_pairwise
     from kspider_tpu.models import ani as ani_model
@@ -245,7 +247,10 @@ def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, en
         log.INFO("Constructing the containment pairwise matrix.")
         if sourmash_scale:
             log.WARNING("No need to provide -s/--scale when running this command.")
-        core_pairwise.run_pairwise(index_prefix, use_tpu=not force_cpu, engine=engine)
+        core_pairwise.run_pairwise(
+            index_prefix, use_tpu=not force_cpu, engine=engine,
+            panel=panel, min_shared=min_shared,
+        )
         log.SUCCESS("Done.")
         return
 

@@ -119,14 +119,73 @@ def write_pairwise_tsv(
     return int(nz.sum())
 
 
+def write_pairwise_rows_coo(
+    path: str,
+    gi: np.ndarray,
+    gj: np.ndarray,
+    shared: np.ndarray,
+    kmer_counts: np.ndarray,
+    header: bool,
+) -> None:
+    """Append pre-sorted COO pair rows (0-based ids) to the pairwise TSV.
+
+    Used by the panel-streamed engine (ops/tiled_pairwise.py); emits the
+    exact row format of ``write_pairwise_tsv``."""
+    try:
+        from kspider_tpu.io import native
+
+        if native.available():
+            native.write_pairwise_coo(
+                path, gi, gj, shared, kmer_counts, header
+            )
+            return
+    except Exception:
+        pass
+    counts = np.asarray(kmer_counts, dtype=np.int64)
+    cmin, cavg, cmax = containment_columns(
+        np.asarray(shared, dtype=np.int64), counts[gi], counts[gj]
+    )
+    lines = []
+    if header:
+        lines.append(
+            "source_1\tsource_2\tshared_kmers\tmin_containment\tavg_containment\tmax_containment"
+        )
+    for a, b, sh, c1, c2, c3 in zip(
+        (np.asarray(gi) + 1).tolist(),
+        (np.asarray(gj) + 1).tolist(),
+        np.asarray(shared).tolist(),
+        cmin.tolist(),
+        cavg.tolist(),
+        cmax.tolist(),
+    ):
+        lines.append(
+            f"{a}\t{b}\t{sh}\t{format_float_cpp(c1)}\t{format_float_cpp(c2)}\t{format_float_cpp(c3)}"
+        )
+    with open(path, "w" if header else "a") as f:
+        if lines:
+            f.write("\n".join(lines))
+            f.write("\n")
+
+
+# beyond this sample count the full NxN host matrix (int64) would exceed
+# ~2GB and the tiled streaming engine takes over automatically
+AUTO_TILED_THRESHOLD = 16384
+
+
 def run_pairwise(
     prefix: str,
     index: Optional[ColorIndex] = None,
     use_tpu: bool = True,
     echo_timers: bool = True,
     engine: str = "auto",
-) -> np.ndarray:
-    """Full pairwise stage: load artifacts if needed, compute, emit TSVs."""
+    panel: int = 4096,
+    min_shared: int = 1,
+) -> Optional[np.ndarray]:
+    """Full pairwise stage: load artifacts if needed, compute, emit TSVs.
+
+    Returns the dense shared matrix, or None when the panel-streamed
+    engine was used (``engine="tiled"`` or N > AUTO_TILED_THRESHOLD) —
+    results then live only in the pairwise TSV."""
     import time
 
     from kspider_tpu.io import artifacts
@@ -157,7 +216,26 @@ def run_pairwise(
         profile_cm = jax.profiler.trace(profile_dir)
     else:
         profile_cm = contextlib.nullcontext()
+    tiled = engine == "tiled" or (
+        engine == "auto" and use_tpu and index.num_groups > AUTO_TILED_THRESHOLD
+    )
     with profile_cm:
+        if tiled:
+            from kspider_tpu.ops import tiled_pairwise
+
+            n_rows = tiled_pairwise.stream_pairwise_tsv(
+                index, prefix, panel=panel, min_shared=min_shared,
+                engine="auto" if use_tpu else "xla",
+                echo_progress=echo_timers,
+            )
+            if echo_timers:
+                print(
+                    f"pairwise matrix construction: {time.perf_counter() - t0:.6g} secs"
+                )
+                print(
+                    f"streamed {n_rows} pair rows to {prefix}_kSpider_pairwise.tsv"
+                )
+            return None
         shared = compute_shared_matrix(index, use_tpu=use_tpu, engine=engine)
     if echo_timers:
         print(

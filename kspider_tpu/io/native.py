@@ -82,6 +82,11 @@ def _try_load() -> Optional[ctypes.CDLL]:
         lib.ks_write_pairwise_tsv.argtypes = [
             ctypes.c_char_p, i64p, ctypes.c_int32, i64p,
         ]
+        lib.ks_write_pairwise_coo.restype = ctypes.c_int
+        lib.ks_write_pairwise_coo.argtypes = [
+            ctypes.c_char_p, i64p, i64p, i64p, ctypes.c_int64, i64p,
+            ctypes.c_int32,
+        ]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.ks_write_color_to_sources.restype = ctypes.c_int
         lib.ks_write_color_to_sources.argtypes = [
@@ -213,6 +218,35 @@ def write_pairwise_tsv(path: str, s: np.ndarray, kmer_counts: np.ndarray) -> Non
     )
     if rc != 0:
         raise IOError(f"native write_pairwise_tsv failed with code {rc}")
+
+
+def write_pairwise_coo(
+    path: str,
+    gi: np.ndarray,
+    gj: np.ndarray,
+    shared: np.ndarray,
+    kmer_counts: np.ndarray,
+    header: bool,
+) -> None:
+    """Append sorted COO pair rows (0-based ids) to the pairwise TSV;
+    ``header=True`` truncates and writes the header line first."""
+    lib = _try_load()
+    gi = np.ascontiguousarray(gi, dtype=np.int64)
+    gj = np.ascontiguousarray(gj, dtype=np.int64)
+    shared = np.ascontiguousarray(shared, dtype=np.int64)
+    counts = np.ascontiguousarray(kmer_counts, dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ks_write_pairwise_coo(
+        path.encode(),
+        gi.ctypes.data_as(p_i64),
+        gj.ctypes.data_as(p_i64),
+        shared.ctypes.data_as(p_i64),
+        len(gi),
+        counts.ctypes.data_as(p_i64),
+        1 if header else 0,
+    )
+    if rc != 0:
+        raise IOError(f"native write_pairwise_coo failed with code {rc}")
 
 
 def write_color_to_sources(path, colors, offsets, members1) -> None:

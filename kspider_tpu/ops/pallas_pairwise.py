@@ -128,6 +128,71 @@ def cooccurrence_pallas(
     )(bits_t, bits_t, w_limbs_t)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block", "npad_i", "npad_j", "n_limbs", "tile", "compute_dtype", "interpret",
+    ),
+)
+def cooccurrence_pallas_rect(
+    bits_i_t,
+    bits_j_t,
+    w_limbs_t,
+    block: int,
+    npad_i: int,
+    npad_j: int,
+    n_limbs: int,
+    tile: int = 512,
+    compute_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """Rectangular variant for panel-streamed large-N runs: the row samples
+    (``bits_i_t`` u8[NB, npad_i/8, block]) and column samples (``bits_j_t``
+    u8[NB, npad_j/8, block]) come from two different sample panels.
+    Returns i32[n_limbs, npad_i, npad_j]."""
+    num_blocks = bits_i_t.shape[0]
+    nti = npad_i // tile
+    ntj = npad_j // tile
+    t8 = tile // 8
+
+    grid = (nti, ntj, num_blocks)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, tile=tile, block=block, n_limbs=n_limbs,
+            compute_dtype=compute_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, t8, block), lambda i, j, b: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t8, block), lambda i, j, b: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_limbs, block), lambda i, j, b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_limbs, tile, tile), lambda i, j, b: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_limbs, npad_i, npad_j), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_limbs * num_blocks * block * npad_i * npad_j,
+            bytes_accessed=num_blocks
+            * block
+            * (npad_i // 8 + npad_j // 8)
+            + n_limbs * npad_i * npad_j * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bits_i_t, bits_j_t, w_limbs_t)
+
+
 def _kernel_tri(ti_ref, tj_ref, bits_i_ref, bits_j_ref, wl_ref, out_ref, *,
                 tile, block, n_limbs, compute_dtype):
     # identical math to _kernel; the (i, j) tile pair comes from the

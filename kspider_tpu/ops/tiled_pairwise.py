@@ -1,0 +1,423 @@
+"""Panel-streamed pairwise for sample counts beyond one device matrix.
+
+The full-matrix engines (ops/bitmask.py, ops/pallas_pairwise.py) hold the
+NxN int64 result on host — fine to ~16K samples, hopeless at 100K (80GB).
+This module streams the Gram matrix panel-pair by panel-pair instead:
+
+  1. Samples are split into fixed panels of P ids.  A color (a set of
+     samples sharing identical k-mer membership) contributes to panel
+     pair (I, J) only if it has >=1 member in each (>=2 members within I
+     for the diagonal pair), so the per-color panel decomposition — the
+     TPU analogue of the reference's per-color ``Combo`` enumeration
+     (/root/reference/src/pairwise.cpp:199-237) but at panel granularity —
+     prunes the vast majority of (color, tile) work for low-degree colors.
+  2. For each panel pair the selected colors are re-packed into compact
+     bitmask blocks (only the two panels' columns) and the rectangular
+     Pallas kernel accumulates S_IJ = A_I^T diag(w) A_J in VMEM.
+  3. The weight limbs are recombined and the tile sparsified ON DEVICE
+     (``jnp.nonzero`` with a static capacity), so only nonzero pairs ever
+     cross HBM->host.  Host memory is O(nonzero pairs per panel row).
+  4. Rows stream to the pairwise TSV sorted by (source_1, source_2):
+     iterating panel-row I over pairs (I, J>=I) covers every i<j pair
+     with i in panel I exactly once.
+
+Exactness matches the full-matrix path: int8 MXU matmuls with int32
+accumulation, base-128 weight limbs, super-block splits keeping every
+accumulator below 2**31.
+"""
+
+import functools
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kspider_tpu.ops import bitmask as bm
+from kspider_tpu.ops import pairwise as pw
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclass
+class PanelPlan:
+    """Preprocessed color->panel decomposition (all host-side numpy)."""
+
+    n: int
+    panel: int
+    n_panels: int
+    mem_s: np.ndarray  # postings sorted by (color, member)
+    seg_start: np.ndarray  # per (color, panel) segment -> start into mem_s
+    seg_count: np.ndarray
+    seg_color: np.ndarray  # compacted color id per segment
+    w_limbs: np.ndarray  # (C_kept, L) base-128 limbs
+    pair_keys: np.ndarray  # sorted unique pi * n_panels + pj (pi <= pj)
+    pair_off: np.ndarray  # CSR offsets into ent_* per pair
+    ent_sega: np.ndarray  # per entry: segment index of the row-panel side
+    ent_segb: np.ndarray  # per entry: segment index of the col-panel side
+    max_weight_sum: int  # upper bound on any S entry (= sum of kept weights)
+
+    @property
+    def n_limbs(self) -> int:
+        return self.w_limbs.shape[1]
+
+
+def build_panel_plan(
+    offsets: np.ndarray,
+    members: np.ndarray,
+    weights: np.ndarray,
+    n: int,
+    panel: int,
+) -> PanelPlan:
+    """Decompose the color CSR into per-panel-pair work lists."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    members = np.asarray(members, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.int64)
+    degrees = np.diff(offsets)
+    keep = np.flatnonzero(degrees >= 2)
+    n_panels = max(1, _cdiv(n, panel))
+
+    empty = PanelPlan(
+        n=n, panel=panel, n_panels=n_panels,
+        mem_s=np.zeros(0, np.int32),
+        seg_start=np.zeros(0, np.int64), seg_count=np.zeros(0, np.int64),
+        seg_color=np.zeros(0, np.int64),
+        w_limbs=np.zeros((0, 1), np.int8),
+        pair_keys=np.zeros(0, np.int64),
+        pair_off=np.zeros(1, np.int64),
+        ent_sega=np.zeros(0, np.int64), ent_segb=np.zeros(0, np.int64),
+        max_weight_sum=0,
+    )
+    if len(keep) == 0 or n == 0:
+        return empty
+
+    kept_deg = degrees[keep]
+    new_off = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(kept_deg, out=new_off[1:])
+    gather = np.repeat(offsets[keep], kept_deg) + (
+        np.arange(int(kept_deg.sum())) - np.repeat(new_off[:-1], kept_deg)
+    )
+    mem = members[gather]
+    cid = np.repeat(np.arange(len(keep), dtype=np.int64), kept_deg)
+
+    order = np.lexsort((mem, cid))
+    mem_s = mem[order].astype(np.int32)
+    cid_s = cid[order]
+    pan_s = mem_s.astype(np.int64) // panel
+    key = cid_s * n_panels + pan_s
+
+    uniq, seg_start, seg_count = np.unique(
+        key, return_index=True, return_counts=True
+    )
+    seg_color = uniq // n_panels
+    seg_panel = (uniq % n_panels).astype(np.int32)
+
+    # per color: contiguous run of segments in `uniq`
+    _, col_first, col_t = np.unique(seg_color, return_index=True, return_counts=True)
+
+    ent_pa, ent_pb, ent_sa, ent_sb = [], [], [], []
+    for t in np.unique(col_t):
+        t = int(t)
+        rows = np.flatnonzero(col_t == t)
+        segidx = col_first[rows][:, None] + np.arange(t)  # (m, t)
+        pans = seg_panel[segidx]
+        cnts = seg_count[segidx]
+        ia, ib = np.triu_indices(t)
+        valid = np.ones((len(rows), len(ia)), dtype=bool)
+        diag = ia == ib
+        if diag.any():
+            valid[:, diag] = cnts[:, ia[diag]] >= 2
+        pa, pb = pans[:, ia], pans[:, ib]
+        sa, sb = segidx[:, ia], segidx[:, ib]
+        ent_pa.append(pa[valid])
+        ent_pb.append(pb[valid])
+        ent_sa.append(sa[valid])
+        ent_sb.append(sb[valid])
+
+    pa = np.concatenate(ent_pa)
+    pb = np.concatenate(ent_pb)
+    sa = np.concatenate(ent_sa)
+    sb = np.concatenate(ent_sb)
+    if len(pa) == 0:
+        return empty
+    pk = pa.astype(np.int64) * n_panels + pb
+    order2 = np.argsort(pk, kind="stable")
+    pk_s, sa_s, sb_s = pk[order2], sa[order2], sb[order2]
+    pair_keys, pair_first, pair_cnt = np.unique(
+        pk_s, return_index=True, return_counts=True
+    )
+    pair_off = np.zeros(len(pair_keys) + 1, dtype=np.int64)
+    np.cumsum(pair_cnt, out=pair_off[1:])
+
+    kept_w = weights[keep]
+    return PanelPlan(
+        n=n, panel=panel, n_panels=n_panels,
+        mem_s=mem_s,
+        seg_start=seg_start.astype(np.int64),
+        seg_count=seg_count.astype(np.int64),
+        seg_color=seg_color,
+        w_limbs=pw.weight_limbs(kept_w),
+        pair_keys=pair_keys,
+        pair_off=pair_off,
+        ent_sega=sa_s.astype(np.int64),
+        ent_segb=sb_s.astype(np.int64),
+        max_weight_sum=int(kept_w.sum()),
+    )
+
+
+def _gather_side(plan: PanelPlan, segs: np.ndarray):
+    """Selected segments -> (local CSR offsets, member ids)."""
+    cnt = plan.seg_count[segs]
+    off = np.zeros(len(segs) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=off[1:])
+    idx = np.repeat(plan.seg_start[segs], cnt) + (
+        np.arange(int(off[-1])) - np.repeat(off[:-1], cnt)
+    )
+    return off, plan.mem_s[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "n_limbs"))
+def _gram_rect_xla(bits_i, bits_j, wl, block: int, n_limbs: int):
+    """XLA fallback tile engine (CPU tests / non-TPU backends).
+
+    bits_* u8[NB, block, P/8] (untransposed), wl i8[NB, block, L]
+    -> i32[L, Pi, Pj]."""
+    pi = bits_i.shape[2] * 8
+    pj = bits_j.shape[2] * 8
+
+    def body(acc, xs):
+        bi, bj, w = xs
+        ai = bm.unpack_bits_to_int8(bi)  # [block, Pi]
+        aj = bm.unpack_bits_to_int8(bj)
+
+        def limb(l, acc):
+            wa = ai * w[:, l][:, None]
+            s = jax.lax.dot_general(
+                wa, aj,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.at[l].add(s)
+
+        return jax.lax.fori_loop(0, n_limbs, limb, acc), None
+
+    acc0 = jnp.zeros((n_limbs, pi, pj), dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, (bits_i, bits_j, wl))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))
+def _combine_extract(acc, min_shared, cap: int, n_limbs: int, diag: bool):
+    """Recombine weight limbs and sparsify on device.
+
+    acc i32[L, Pi, Pj] -> (flat idx i32[cap], vals i32[cap], count).
+    Values below ``min_shared`` are dropped; for a diagonal panel pair only
+    the strict upper triangle survives.  Exact while the true entry sum
+    stays below 2**31 (callers check plan.max_weight_sum)."""
+    tile = acc[0]
+    scale = 1
+    for l in range(1, n_limbs):
+        scale *= 128
+        tile = tile + acc[l] * jnp.int32(scale)
+    pi, pj = tile.shape
+    mask = tile >= min_shared
+    if diag:
+        row = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 1)
+        mask = mask & (row < col)
+    flat = jnp.where(mask, tile, 0).ravel()
+    count = (flat > 0).sum()
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=pi * pj)
+    vals = jnp.where(
+        idx < pi * pj, flat[jnp.minimum(idx, pi * pj - 1)], 0
+    )
+    return idx.astype(jnp.int32), vals, count
+
+
+_add = jax.jit(lambda x, y: x + y)
+
+
+def _pack_side(off, mem_local, n_blocks: int, block: int, panel_pad: int,
+               transpose: bool) -> np.ndarray:
+    """Local CSR -> bitmask blocks padded to ``n_blocks`` color blocks."""
+    n_colors = len(off) - 1
+    pad_colors = n_blocks * block - n_colors
+    if pad_colors:
+        off = np.concatenate([off, np.full(pad_colors, off[-1], dtype=np.int64)])
+    bits = bm.pack_bitmask_blocks(off, mem_local, panel_pad, block)
+    if transpose:
+        bits = np.ascontiguousarray(bits.transpose(0, 2, 1))
+    return bits
+
+
+def _pad_limbs(wl: np.ndarray, n_blocks: int, block: int, transpose: bool):
+    n_limbs = wl.shape[1]
+    out = np.zeros((n_blocks * block, n_limbs), dtype=np.int8)
+    out[: len(wl)] = wl
+    out = out.reshape(n_blocks, block, n_limbs)
+    if transpose:
+        out = np.ascontiguousarray(out.transpose(0, 2, 1))
+    return out
+
+
+def iter_panel_pairs(
+    plan: PanelPlan,
+    engine: str = "auto",
+    block: int = 1024,
+    tile: Optional[int] = None,
+    min_shared: int = 1,
+    cap0: int = 1 << 18,
+    interpret: Optional[bool] = None,
+) -> Iterator[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (pi, pj, gi, gj, shared) for every panel pair with work.
+
+    ``gi``/``gj`` are global 0-based sample ids with gi < gj; ``shared``
+    the exact shared-k-mer counts >= min_shared.
+    """
+    if engine == "auto":
+        engine = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if plan.max_weight_sum >= 2**31:
+        raise NotImplementedError(
+            "total kept k-mer weight >= 2**31; the on-device int32 combine "
+            "would overflow — shard the index (parallel/distributed.py) "
+            "before pairwise"
+        )
+    n_limbs = plan.n_limbs
+    if tile is None:
+        from kspider_tpu.ops.pallas_pairwise import auto_tile
+
+        tile = min(512, auto_tile(n_limbs, block, budget=5 * 1024 * 1024))
+    panel_pad = max(tile, _cdiv(plan.panel, tile) * tile)
+    sup = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
+
+    for p in range(len(plan.pair_keys)):
+        pk = int(plan.pair_keys[p])
+        pi, pj = pk // plan.n_panels, pk % plan.n_panels
+        e0, e1 = int(plan.pair_off[p]), int(plan.pair_off[p + 1])
+        segs_a = plan.ent_sega[e0:e1]
+        segs_b = plan.ent_segb[e0:e1]
+        m = e1 - e0
+
+        acc_dev = None
+        for cs in range(0, m, sup):
+            ce = min(cs + sup, m)
+            n_real_blocks = _cdiv(ce - cs, block)
+            n_blocks = 1 << (n_real_blocks - 1).bit_length()  # bucket compiles
+            off_a, mem_a = _gather_side(plan, segs_a[cs:ce])
+            mem_a = mem_a - pi * plan.panel
+            bits_a = _pack_side(
+                off_a, mem_a, n_blocks, block, panel_pad, engine == "pallas"
+            )
+            if pi == pj:
+                bits_b = bits_a
+            else:
+                off_b, mem_b = _gather_side(plan, segs_b[cs:ce])
+                mem_b = mem_b - pj * plan.panel
+                bits_b = _pack_side(
+                    off_b, mem_b, n_blocks, block, panel_pad, engine == "pallas"
+                )
+            wl = _pad_limbs(
+                plan.w_limbs[plan.seg_color[segs_a[cs:ce]]],
+                n_blocks, block, engine == "pallas",
+            )
+            if engine == "pallas":
+                from kspider_tpu.ops.pallas_pairwise import cooccurrence_pallas_rect
+
+                acc = cooccurrence_pallas_rect(
+                    bits_a, bits_b, wl, block, panel_pad, panel_pad,
+                    n_limbs, tile=tile, interpret=interpret,
+                )
+            else:
+                acc = _gram_rect_xla(bits_a, bits_b, wl, block, n_limbs)
+            acc_dev = acc if acc_dev is None else _add(acc_dev, acc)
+
+        cap = cap0
+        while True:
+            idx, vals, count = _combine_extract(
+                acc_dev, jnp.int32(min_shared), cap, n_limbs, pi == pj
+            )
+            count = int(count)
+            if count <= cap:
+                break
+            while cap < count:
+                cap *= 4
+            cap = min(cap, panel_pad * panel_pad)
+        if count == 0:
+            continue
+        idx = np.asarray(idx[:count])
+        vals = np.asarray(vals[:count]).astype(np.int64)
+        gi = pi * plan.panel + idx // panel_pad
+        gj = pj * plan.panel + idx % panel_pad
+        yield pi, pj, gi.astype(np.int64), gj.astype(np.int64), vals
+
+
+def stream_pairwise_tsv(
+    index,
+    prefix: str,
+    panel: int = 4096,
+    engine: str = "auto",
+    block: int = 1024,
+    min_shared: int = 1,
+    echo_progress: bool = False,
+) -> int:
+    """Compute pairwise at any N and stream `{p}_kSpider_pairwise.tsv`.
+
+    Rows are emitted sorted by (source_1, source_2), matching the
+    full-matrix writer (core/pairwise.py).  Returns the pair-row count.
+    """
+    from kspider_tpu.core.pairwise import write_pairwise_rows_coo
+
+    plan = build_panel_plan(
+        index.color_offsets, index.color_members, index.color_counts,
+        index.num_groups, panel,
+    )
+    counts = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
+    path = prefix + "_kSpider_pairwise.tsv"
+
+    total = 0
+    first = True
+    gen = iter_panel_pairs(
+        plan, engine=engine, block=block, min_shared=min_shared
+    )
+    current_row = -1
+    buf_i, buf_j, buf_v = [], [], []
+
+    def flush():
+        nonlocal total, first
+        if not buf_i:
+            return
+        gi = np.concatenate(buf_i)
+        gj = np.concatenate(buf_j)
+        sv = np.concatenate(buf_v)
+        order = np.lexsort((gj, gi))
+        write_pairwise_rows_coo(
+            path, gi[order], gj[order], sv[order], counts, header=first
+        )
+        first = False
+        total += len(gi)
+        buf_i.clear()
+        buf_j.clear()
+        buf_v.clear()
+
+    for pi, pj, gi, gj, vals in gen:
+        if pi != current_row:
+            flush()
+            current_row = pi
+            if echo_progress:
+                print(f"  panel row {pi + 1}/{plan.n_panels}", flush=True)
+        buf_i.append(gi)
+        buf_j.append(gj)
+        buf_v.append(vals)
+    flush()
+    if first:  # no pairs at all: still write the header
+        write_pairwise_rows_coo(
+            path,
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), counts, header=True,
+        )
+    return total

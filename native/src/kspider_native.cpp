@@ -499,6 +499,35 @@ int ks_write_pairwise_tsv(const char* path, const int64_t* s, int32_t n,
     return 0;
 }
 
+// Streamed COO variant for the panel-tiled engine: rows arrive pre-sorted
+// in (source_1, source_2) chunks; header==1 truncates + writes the header.
+int ks_write_pairwise_coo(const char* path, const int64_t* gi,
+                          const int64_t* gj, const int64_t* shared,
+                          int64_t n_rows, const int64_t* kmer_counts,
+                          int32_t header) {
+    FILE* f = fopen(path, header ? "wb" : "ab");
+    if (!f) return 1;
+    setvbuf(f, nullptr, _IOFBF, 1 << 20);
+    if (header)
+        fputs("source_1\tsource_2\tshared_kmers\tmin_containment\tavg_containment\tmax_containment\n", f);
+    char buf[96];
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t a = gi[r], b = gj[r], sh = shared[r];
+        float c12 = (float)sh / (float)(uint32_t)kmer_counts[b];
+        float c21 = (float)sh / (float)(uint32_t)kmer_counts[a];
+        float cmin = c12 < c21 ? c12 : c21;
+        float cavg = (float)((c12 + c21) / 2.0);
+        float cmax = c12 > c21 ? c12 : c21;
+        int len = snprintf(buf, sizeof(buf), "%lld\t%lld\t%lld\t%g\t%g\t%g\n",
+                           (long long)(a + 1), (long long)(b + 1),
+                           (long long)sh, (double)cmin, (double)cavg,
+                           (double)cmax);
+        fwrite(buf, 1, (size_t)len, f);
+    }
+    fclose(f);
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

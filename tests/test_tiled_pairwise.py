@@ -1,0 +1,128 @@
+"""Panel-streamed pairwise engine vs the numpy/full-matrix references."""
+
+import numpy as np
+import pytest
+
+from kspider_tpu.core import pairwise as core_pw
+from kspider_tpu.ops import pairwise as pw
+from kspider_tpu.ops import tiled_pairwise as tp
+from tests.test_pairwise_ops import random_csr
+
+
+def assemble(plan_iter, n):
+    s = np.zeros((n, n), dtype=np.int64)
+    for _, _, gi, gj, vals in plan_iter:
+        assert (gi < gj).all()
+        s[gi, gj] += vals
+        s[gj, gi] += vals
+    return s
+
+
+def test_panel_plan_covers_all_pairs(rng):
+    o, m, w = random_csr(rng, 400, 700, max_degree=9, max_weight=500)
+    plan = tp.build_panel_plan(o, m, w, 700, panel=256)
+    # every color with >=2 members in two panels appears in that pair's list
+    degrees = np.diff(o)
+    npan = plan.n_panels
+    expect_pairs = set()
+    for c in range(len(degrees)):
+        ms = m[o[c] : o[c + 1]]
+        if len(ms) < 2:
+            continue
+        pans = sorted(set(int(x) // 256 for x in ms))
+        from collections import Counter
+
+        cnt = Counter(int(x) // 256 for x in ms)
+        for i, pa in enumerate(pans):
+            for pb in pans[i:]:
+                if pa == pb and cnt[pa] < 2:
+                    continue
+                expect_pairs.add(pa * npan + pb)
+    assert set(plan.pair_keys.tolist()) == expect_pairs
+
+
+@pytest.mark.parametrize("panel", [256, 512])
+def test_tiled_matches_numpy(rng, panel):
+    n = 1300  # spans multiple panels incl. a ragged last one
+    o, m, w = random_csr(rng, 800, n, max_degree=14, max_weight=40000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=panel)
+    s1 = assemble(
+        tp.iter_panel_pairs(plan, engine="xla", block=128, tile=128), n
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
+def test_tiled_min_shared_threshold(rng):
+    n = 600
+    o, m, w = random_csr(rng, 500, n, max_degree=10, max_weight=200)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    thresh = 150
+    s = np.zeros((n, n), dtype=np.int64)
+    for _, _, gi, gj, vals in tp.iter_panel_pairs(
+        plan, engine="xla", block=128, tile=128, min_shared=thresh
+    ):
+        assert (vals >= thresh).all()
+        s[gi, gj] = vals
+    ref = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    ref_up = np.triu(ref, k=1)
+    ref_up[ref_up < thresh] = 0
+    assert np.array_equal(s, ref_up)
+
+
+def test_tiled_small_cap_regrow(rng):
+    # force the nonzero capacity to grow: tiny cap0, dense-ish result
+    n = 300
+    o, m, w = random_csr(rng, 600, n, max_degree=30, max_weight=50)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    s1 = assemble(
+        tp.iter_panel_pairs(plan, engine="xla", block=128, tile=128, cap0=64),
+        n,
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
+class _FakeIndex:
+    def __init__(self, o, m, w, n, counts):
+        self.color_offsets = o
+        self.color_members = m
+        self.color_counts = w
+        self.num_groups = n
+        self.group_kmer_count = counts
+
+
+def test_stream_tsv_matches_full_writer(rng, tmp_path):
+    n = 700
+    o, m, w = random_csr(rng, 900, n, max_degree=12, max_weight=30000)
+    counts = rng.integers(1, 100000, size=n).astype(np.int64)
+    idx = _FakeIndex(o, m, w, n, counts)
+
+    shared = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    full_prefix = str(tmp_path / "full")
+    core_pw.write_pairwise_tsv(full_prefix, idx, shared)
+
+    stream_prefix = str(tmp_path / "stream")
+    n_rows = tp.stream_pairwise_tsv(
+        idx, stream_prefix, panel=256, engine="xla", block=128
+    )
+    full = open(full_prefix + "_kSpider_pairwise.tsv").read()
+    streamed = open(stream_prefix + "_kSpider_pairwise.tsv").read()
+    assert streamed == full
+    assert n_rows == int((shared > 0).sum()) // 2
+
+
+def test_stream_tsv_empty(rng, tmp_path):
+    # all singleton colors -> zero pairs, header-only file
+    o = np.arange(6, dtype=np.int64)
+    m = np.arange(5, dtype=np.int64)
+    w = np.ones(5, dtype=np.int64)
+    counts = np.ones(5, dtype=np.int64)
+    idx = _FakeIndex(o, m, w, 5, counts)
+    prefix = str(tmp_path / "empty")
+    n_rows = tp.stream_pairwise_tsv(idx, prefix, panel=256, engine="xla")
+    assert n_rows == 0
+    lines = open(prefix + "_kSpider_pairwise.tsv").read().splitlines()
+    assert lines == [
+        "source_1\tsource_2\tshared_kmers\tmin_containment\tavg_containment\tmax_containment"
+    ]

@@ -179,12 +179,11 @@ def _gather_side(plan: PanelPlan, segs: np.ndarray):
     return off, plan.mem_s[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "n_limbs"))
-def _gram_rect_xla(bits_i, bits_j, wl, block: int, n_limbs: int):
-    """XLA fallback tile engine (CPU tests / non-TPU backends).
+def _rect_scan(bits_i, bits_j, wl, n_limbs: int, axis=None):
+    """Scan color blocks, accumulating the rectangular weighted Gram.
 
     bits_* u8[NB, block, P/8] (untransposed), wl i8[NB, block, L]
-    -> i32[L, Pi, Pj]."""
+    -> i32[L, Pi, Pj].  ``axis`` marks the carry varying inside shard_map."""
     pi = bits_i.shape[2] * 8
     pj = bits_j.shape[2] * 8
 
@@ -205,8 +204,41 @@ def _gram_rect_xla(bits_i, bits_j, wl, block: int, n_limbs: int):
         return jax.lax.fori_loop(0, n_limbs, limb, acc), None
 
     acc0 = jnp.zeros((n_limbs, pi, pj), dtype=jnp.int32)
+    if axis is not None:
+        acc0 = jax.lax.pvary(acc0, (axis,))
     acc, _ = jax.lax.scan(body, acc0, (bits_i, bits_j, wl))
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("block", "n_limbs"))
+def _gram_rect_xla(bits_i, bits_j, wl, block: int, n_limbs: int):
+    """XLA fallback tile engine (CPU tests / non-TPU backends)."""
+    return _rect_scan(bits_i, bits_j, wl, n_limbs)
+
+
+def _gram_rect_sharded(bits_i, bits_j, wl, n_limbs: int, mesh):
+    """Mesh-parallel tile engine: color blocks sharded over the mesh's
+    ``shards`` axis, per-device partial tiles merged with one psum over
+    ICI.  Block count must be a multiple of the mesh size."""
+    from jax.sharding import PartitionSpec as P
+
+    from kspider_tpu.parallel.mesh import SHARD_AXIS
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None, None),
+            P(SHARD_AXIS, None, None),
+            P(SHARD_AXIS, None, None),
+        ),
+        out_specs=P(),
+    )
+    def run(bi, bj, w):
+        acc = _rect_scan(bi, bj, w, n_limbs, axis=SHARD_AXIS)
+        return jax.lax.psum(acc, SHARD_AXIS)
+
+    return jax.jit(run)(bits_i, bits_j, wl)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))
@@ -271,13 +303,17 @@ def iter_panel_pairs(
     min_shared: int = 1,
     cap0: int = 1 << 18,
     interpret: Optional[bool] = None,
+    mesh=None,
 ) -> Iterator[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (pi, pj, gi, gj, shared) for every panel pair with work.
 
     ``gi``/``gj`` are global 0-based sample ids with gi < gj; ``shared``
-    the exact shared-k-mer counts >= min_shared.
+    the exact shared-k-mer counts >= min_shared.  Passing ``mesh`` shards
+    each pair's color blocks over the mesh (engine "sharded").
     """
-    if engine == "auto":
+    if mesh is not None:
+        engine = "sharded"
+    elif engine == "auto":
         engine = "xla" if jax.default_backend() == "cpu" else "pallas"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -308,6 +344,9 @@ def iter_panel_pairs(
             ce = min(cs + sup, m)
             n_real_blocks = _cdiv(ce - cs, block)
             n_blocks = 1 << (n_real_blocks - 1).bit_length()  # bucket compiles
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                n_blocks = _cdiv(n_blocks, n_dev) * n_dev
             off_a, mem_a = _gather_side(plan, segs_a[cs:ce])
             mem_a = mem_a - pi * plan.panel
             bits_a = _pack_side(
@@ -332,6 +371,8 @@ def iter_panel_pairs(
                     bits_a, bits_b, wl, block, panel_pad, panel_pad,
                     n_limbs, tile=tile, interpret=interpret,
                 )
+            elif engine == "sharded":
+                acc = _gram_rect_sharded(bits_a, bits_b, wl, n_limbs, mesh)
             else:
                 acc = _gram_rect_xla(bits_a, bits_b, wl, block, n_limbs)
             acc_dev = acc if acc_dev is None else _add(acc_dev, acc)
@@ -364,11 +405,13 @@ def stream_pairwise_tsv(
     block: int = 1024,
     min_shared: int = 1,
     echo_progress: bool = False,
+    mesh=None,
 ) -> int:
     """Compute pairwise at any N and stream `{p}_kSpider_pairwise.tsv`.
 
     Rows are emitted sorted by (source_1, source_2), matching the
     full-matrix writer (core/pairwise.py).  Returns the pair-row count.
+    ``mesh`` shards each panel pair's colors across devices (psum merge).
     """
     from kspider_tpu.core.pairwise import write_pairwise_rows_coo
 
@@ -382,7 +425,7 @@ def stream_pairwise_tsv(
     total = 0
     first = True
     gen = iter_panel_pairs(
-        plan, engine=engine, block=block, min_shared=min_shared
+        plan, engine=engine, block=block, min_shared=min_shared, mesh=mesh
     )
     current_row = -1
     buf_i, buf_j, buf_v = [], [], []

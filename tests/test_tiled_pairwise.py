@@ -53,6 +53,20 @@ def test_tiled_matches_numpy(rng, panel):
     assert np.array_equal(s1, s2)
 
 
+def test_tiled_sharded_mesh_matches_numpy(rng):
+    from kspider_tpu.parallel.mesh import make_mesh
+
+    n = 1100
+    o, m, w = random_csr(rng, 700, n, max_degree=12, max_weight=5000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=512)
+    mesh = make_mesh(8)
+    s1 = assemble(
+        tp.iter_panel_pairs(plan, block=128, tile=128, mesh=mesh), n
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
 def test_tiled_min_shared_threshold(rng):
     n = 600
     o, m, w = random_csr(rng, 500, n, max_degree=10, max_weight=200)

@@ -331,19 +331,24 @@ def iter_panel_pairs(
     panel_pad = max(tile, _cdiv(plan.panel, tile) * tile)
     sup = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
 
-    for p in range(len(plan.pair_keys)):
+    def prepare(p: int):
+        """Host side: pack one panel pair's chunks (overlaps device work)."""
         pk = int(plan.pair_keys[p])
         pi, pj = pk // plan.n_panels, pk % plan.n_panels
         e0, e1 = int(plan.pair_off[p]), int(plan.pair_off[p + 1])
         segs_a = plan.ent_sega[e0:e1]
         segs_b = plan.ent_segb[e0:e1]
         m = e1 - e0
-
-        acc_dev = None
+        chunks = []
         for cs in range(0, m, sup):
             ce = min(cs + sup, m)
             n_real_blocks = _cdiv(ce - cs, block)
-            n_blocks = 1 << (n_real_blocks - 1).bit_length()  # bucket compiles
+            # bucket block counts to bound recompiles: powers of two up to
+            # 32, then multiples of 32 (caps pad waste at ~3% for big NB)
+            if n_real_blocks <= 32:
+                n_blocks = 1 << (n_real_blocks - 1).bit_length()
+            else:
+                n_blocks = 32 * _cdiv(n_real_blocks, 32)
             if mesh is not None:
                 n_dev = mesh.devices.size
                 n_blocks = _cdiv(n_blocks, n_dev) * n_dev
@@ -364,6 +369,13 @@ def iter_panel_pairs(
                 plan.w_limbs[plan.seg_color[segs_a[cs:ce]]],
                 n_blocks, block, engine == "pallas",
             )
+            chunks.append((bits_a, bits_b, wl))
+        return pi, pj, chunks
+
+    def dispatch(chunks):
+        """Issue the async device calls; returns the un-synced accumulator."""
+        acc_dev = None
+        for bits_a, bits_b, wl in chunks:
             if engine == "pallas":
                 from kspider_tpu.ops.pallas_pairwise import cooccurrence_pallas_rect
 
@@ -376,7 +388,9 @@ def iter_panel_pairs(
             else:
                 acc = _gram_rect_xla(bits_a, bits_b, wl, block, n_limbs)
             acc_dev = acc if acc_dev is None else _add(acc_dev, acc)
+        return acc_dev
 
+    def extract(pi: int, pj: int, acc_dev):
         cap = cap0
         while True:
             idx, vals, count = _combine_extract(
@@ -389,12 +403,28 @@ def iter_panel_pairs(
                 cap *= 4
             cap = min(cap, panel_pad * panel_pad)
         if count == 0:
-            continue
+            return None
         idx = np.asarray(idx[:count])
         vals = np.asarray(vals[:count]).astype(np.int64)
         gi = pi * plan.panel + idx // panel_pad
         gj = pj * plan.panel + idx % panel_pad
-        yield pi, pj, gi.astype(np.int64), gj.astype(np.int64), vals
+        return gi.astype(np.int64), gj.astype(np.int64), vals
+
+    # 1-deep software pipeline: while the device runs pair p, the host
+    # packs pair p+1; the blocking D2H of p happens after p+1 is queued
+    pending = None  # (pi, pj, acc_dev)
+    for p in range(len(plan.pair_keys)):
+        pi, pj, chunks = prepare(p)
+        acc_dev = dispatch(chunks)
+        if pending is not None:
+            out = extract(*pending)
+            if out is not None:
+                yield pending[0], pending[1], *out
+        pending = (pi, pj, acc_dev)
+    if pending is not None:
+        out = extract(*pending)
+        if out is not None:
+            yield pending[0], pending[1], *out
 
 
 def stream_pairwise_tsv(

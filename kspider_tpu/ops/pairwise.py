@@ -143,13 +143,24 @@ def shared_kmer_matrix(
     color ``c`` and ``weights[c]`` its k-mer count.
 
     ``engine``: "auto" | "bitmask" (XLA, packed-bit layout — the default
-    fast path) | "pallas" (fused VMEM-resident kernel) | "scatter"
+    fast path) | "pallas" (fused VMEM-resident kernel) | "sharded"
+    (color blocks data-parallel over all devices, psum merge) | "scatter"
     (postings scatter + matmul; kept for comparison/fallback).
     """
     if engine == "auto":
         # fused Pallas kernel on real accelerators; XLA bitmask engine on
-        # CPU (Pallas would run interpreted there)
-        engine = "bitmask" if jax.default_backend() == "cpu" else "pallas"
+        # CPU (Pallas would run interpreted there); all-device sharding
+        # when more than one chip is attached
+        if len(jax.devices()) > 1:
+            engine = "sharded"
+        else:
+            engine = "bitmask" if jax.default_backend() == "cpu" else "pallas"
+    if engine == "sharded":
+        from kspider_tpu.parallel.sharded_pairwise import shared_kmer_matrix_sharded
+
+        return shared_kmer_matrix_sharded(
+            offsets, members, weights, n, block=max(block, 1024)
+        )
     if engine == "bitmask":
         from kspider_tpu.ops.bitmask import shared_kmer_matrix_bitmask
 

@@ -35,7 +35,7 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 N_SAMPLES = 1024
 N_COLORS = 1 << 17
 BLOCK = 1024  # colors per device block (best measured for the Pallas engine)
-TILE = 1024
+STRIP = 128  # row-strip height of the symmetric upper-triangle kernel
 N_LIMBS = 2  # weights < 128**2
 
 
@@ -96,8 +96,8 @@ def main():
     def chained(b, wlb):
         def body(i, tot):
             bb = jnp.roll(b, i, axis=0)
-            a = pp.cooccurrence_pallas.__wrapped__(
-                bb, wlb, BLOCK, N_SAMPLES, N_LIMBS, tile=TILE
+            a = pp.cooccurrence_pallas_sym.__wrapped__(
+                bb, wlb, BLOCK, N_SAMPLES, N_LIMBS, strip=STRIP
             )
             return tot + jnp.sum(a, dtype=jnp.int32)
 
@@ -112,13 +112,14 @@ def main():
         times.append((time.perf_counter() - t0) / ITERS)
     t_tpu = min(times)
 
-    acc = pp.cooccurrence_pallas(
-        bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS, tile=TILE
+    acc = pp.cooccurrence_pallas_sym(
+        bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS, strip=STRIP
     )
 
     # ---- exactness check against the host engine (outside timing) ----
     acc_h = np.asarray(acc).astype(np.int64)
     s_tpu = acc_h[0] + 128 * acc_h[1]
+    s_tpu = pp.mirror_upper_tiles(s_tpu, STRIP)
     np.fill_diagonal(s_tpu, 0)
 
     # dedupe (color, member) pairs on host: a color is a set, and the

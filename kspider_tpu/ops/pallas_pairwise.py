@@ -193,6 +193,106 @@ def cooccurrence_pallas_rect(
     )(bits_i_t, bits_j_t, w_limbs_t)
 
 
+def _kernel_sym(bits_ref, wl_ref, out_ref, *, n_pad, block, n_limbs, strip,
+                compute_dtype):
+    """Symmetric row-strip kernel: the Gram matrix S = A^T W A is symmetric,
+    so each 128-row strip i is contracted only against columns >= its own
+    start — nt strips cover the upper triangle with (nt+1)/(2*nt) of the
+    full-square MXU work while every dot keeps a wide N dimension (n_pad -
+    r0), which measured ~1.3x faster than the full-square kernel on v5e.
+    The packed block is unpacked ONCE per grid step and all strips slice
+    the same VMEM-resident operands."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    acc_dtype = jnp.float32 if compute_dtype == jnp.bfloat16 else jnp.int32
+    a32 = _unpack_T(bits_ref[0], n_pad, block)
+    a = a32.astype(compute_dtype)
+    was = [
+        (a32 * wl_ref[0, l, :].astype(jnp.int32)[None, :]).astype(compute_dtype)
+        for l in range(n_limbs)
+    ]
+    for r0 in range(0, n_pad, strip):
+        ai = a[r0 : r0 + strip, :]
+        for l in range(n_limbs):
+            s = jax.lax.dot_general(
+                ai,
+                was[l][r0:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+            out_ref[l, r0 : r0 + strip, r0:] += s.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "n_pad", "n_limbs", "strip", "compute_dtype",
+                     "interpret"),
+)
+def cooccurrence_pallas_sym(
+    bits_t,
+    w_limbs_t,
+    block: int,
+    n_pad: int,
+    n_limbs: int,
+    strip: int = 128,
+    compute_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """Upper-triangle co-occurrence for a single symmetric sample panel.
+
+    bits_t u8[NB, n_pad/8, block], w_limbs_t i8[NB, n_limbs, block]
+    -> i32[n_limbs, n_pad, n_pad] where only entries with column-strip >=
+    row-strip are computed (diagonal strip blocks are complete squares);
+    mirror with ``mirror_upper_tiles(s, strip)``.  Requires the whole
+    accumulator plus unpacked operands to fit VMEM — see ``sym_fits``.
+    """
+    num_blocks = bits_t.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_sym, n_pad=n_pad, block=block, n_limbs=n_limbs,
+            strip=strip, compute_dtype=compute_dtype,
+        ),
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad // 8, block), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_limbs, block), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_limbs, n_pad, n_pad), lambda b: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_limbs, n_pad, n_pad), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=n_limbs * num_blocks * block * n_pad * (n_pad + strip),
+            bytes_accessed=num_blocks * block * (n_pad // 8)
+            + n_limbs * n_pad * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bits_t, w_limbs_t)
+
+
+def sym_fits(n_pad: int, block: int, n_limbs: int, compute_dtype=jnp.int8,
+             budget: int = 12 * 1024 * 1024) -> bool:
+    """True when the symmetric kernel's VMEM working set (int32 accumulator
+    + unpacked/weighted operands + packed input buffers) fits on-chip."""
+    op_bytes = 2 if compute_dtype == jnp.bfloat16 else 1
+    acc = 4 * n_limbs * n_pad * n_pad
+    operands = (n_limbs + 1) * n_pad * block * op_bytes
+    inputs = 2 * (n_pad // 8) * block  # double-buffered packed bits
+    return acc + operands + inputs <= budget
+
+
 def _kernel_tri(ti_ref, tj_ref, bits_i_ref, bits_j_ref, wl_ref, out_ref, *,
                 tile, block, n_limbs, compute_dtype):
     # identical math to _kernel; the (i, j) tile pair comes from the
@@ -380,14 +480,27 @@ def shared_kmer_matrix_pallas(
     w_limbs = pw.weight_limbs(new_weights)
     n_limbs = w_limbs.shape[1]
     num_colors = len(new_weights)
-    if tile is None:
-        tile = auto_tile(n_limbs, block)
-        if n > tile:
-            # multi-tile => triangular kernel: scalar-prefetch buffers and
-            # the int32 unpack intermediates (~9 bytes per tile*block
-            # element) leave less room for the accumulator tile
-            tile = min(768, auto_tile(n_limbs, block, budget=5 * 1024 * 1024))
-    n_pad = max(tile, -(-n // tile) * tile)
+    # symmetric row-strip kernel whenever the whole accumulator fits VMEM
+    # (~1.3x the full-square kernel: upper-triangle-only MXU work)
+    strip = 128
+    n_pad_sym = max(strip, -(-n // strip) * strip)
+    use_sym = tile is None and sym_fits(
+        n_pad_sym, block, n_limbs, compute_dtype
+    )
+    if use_sym:
+        tile = strip
+        n_pad = n_pad_sym
+    else:
+        if tile is None:
+            tile = auto_tile(n_limbs, block)
+            if n > tile:
+                # multi-tile => triangular kernel: scalar-prefetch buffers
+                # and the int32 unpack intermediates (~9 bytes per
+                # tile*block element) leave less room for the accumulator
+                tile = min(
+                    768, auto_tile(n_limbs, block, budget=5 * 1024 * 1024)
+                )
+        n_pad = max(tile, -(-n // tile) * tile)
 
     add = jax.jit(lambda x, y: x + y)
 
@@ -408,7 +521,12 @@ def shared_kmer_matrix_pallas(
                 sl_off, sl_mem, w_limbs[cs:ce], n_pad, block
             )
             nt = n_pad // tile
-            if nt > 1:
+            if use_sym:
+                acc = cooccurrence_pallas_sym(
+                    bits_t, wl_t, block, n_pad, n_limbs, strip=strip,
+                    compute_dtype=compute_dtype, interpret=interpret,
+                )
+            elif nt > 1:
                 ti, tj = upper_triangle_tiles(nt)
                 acc = cooccurrence_pallas_tri(
                     bits_t, wl_t, ti, tj, block, n_pad, n_limbs, tile=tile,

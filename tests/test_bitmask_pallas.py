@@ -46,6 +46,23 @@ def test_pallas_multi_tile(rng):
     assert np.array_equal(s1, s2)
 
 
+def test_pallas_sym_engine_matches_numpy(rng):
+    # tile=None routes to the symmetric row-strip kernel (multi-strip n,
+    # 3 weight limbs)
+    o, m, w = random_csr(rng, 700, 200, max_degree=10, max_weight=40000)
+    s1 = shared_kmer_matrix_pallas(o, m, w, 200, block=128)
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, 200)
+    assert np.array_equal(s1, s2)
+
+
+def test_pallas_sym_single_strip(rng):
+    # n below one 128-strip: the kernel degenerates to one full square
+    o, m, w = random_csr(rng, 250, 50, max_degree=6, max_weight=500)
+    s1 = shared_kmer_matrix_pallas(o, m, w, 50, block=128)
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, 50)
+    assert np.array_equal(s1, s2)
+
+
 def test_engine_dispatcher(rng):
     o, m, w = random_csr(rng, 300, 60, max_degree=6, max_weight=1000)
     s_ref = pw.shared_kmer_matrix_numpy(o, m, w, 60)

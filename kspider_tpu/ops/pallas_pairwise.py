@@ -282,6 +282,21 @@ def cooccurrence_pallas_sym(
     )(bits_t, w_limbs_t)
 
 
+def mirror_upper_device(s, strip: int = 128):
+    """Device-side mirror for ``cooccurrence_pallas_sym`` output.
+
+    ``s`` is [..., n_pad, n_pad] with only column-strip >= row-strip
+    entries computed (diagonal strip blocks complete).  Returns the full
+    symmetric matrix: strictly-upper strip blocks are transposed into the
+    strictly-lower ones.  Pure VPU, stays on device (used inside
+    shard_map before/after psum)."""
+    n = s.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // strip
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // strip
+    up = jnp.where(c > r, s, 0)
+    return s + jnp.swapaxes(up, -1, -2)
+
+
 def sym_fits(n_pad: int, block: int, n_limbs: int, compute_dtype=jnp.int8,
              budget: int = 12 * 1024 * 1024) -> bool:
     """True when the symmetric kernel's VMEM working set (int32 accumulator

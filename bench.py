@@ -35,7 +35,9 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 N_SAMPLES = 1024
 N_COLORS = 1 << 17
 BLOCK = 1024  # colors per device block (best measured for the Pallas engine)
-STRIP = 128  # row-strip height of the symmetric upper-triangle kernel
+STRIP = 512  # row-strip height of the symmetric kernel (best measured; see
+#              pallas_pairwise.best_strip — 512 keeps full-square MXU rate
+#              while skipping the lower triangle)
 N_LIMBS = 2  # weights < 128**2
 
 
@@ -148,19 +150,20 @@ def main():
     except Exception:
         host_ok = False
     if host_ok:
-        t0 = time.perf_counter()
-        s_host = native.shared_kmer_matrix(
+        host_fn = lambda: native.shared_kmer_matrix(  # noqa: E731
             offsets, flat_member.astype(np.int32), weights, N_SAMPLES
         )
-        t_host = time.perf_counter() - t0
         host_kind = "native-openmp"
     else:
-        t0 = time.perf_counter()
-        s_host = pw.shared_kmer_matrix_numpy(
+        host_fn = lambda: pw.shared_kmer_matrix_numpy(  # noqa: E731
             offsets, flat_member.astype(np.int32), weights, N_SAMPLES
         )
-        t_host = time.perf_counter() - t0
         host_kind = "numpy"
+    t_host = float("inf")
+    for _ in range(3):  # best-of-3: host timing jitters under system load
+        t0 = time.perf_counter()
+        s_host = host_fn()
+        t_host = min(t_host, time.perf_counter() - t0)
 
     if not np.array_equal(s_tpu, s_host):
         print(

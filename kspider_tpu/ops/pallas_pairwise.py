@@ -282,6 +282,20 @@ def cooccurrence_pallas_sym(
     )(bits_t, w_limbs_t)
 
 
+def best_strip(n_pad: int) -> int:
+    """Row-strip height for ``cooccurrence_pallas_sym``.
+
+    Measured on v5e (n_pad=1024, block=1024, 2 limbs): strip=512 runs the
+    75%-of-square upper-triangle work at full-square MXU rate (2.49 ms vs
+    3.40 ms full square), while strip=256/128 lose per-dot efficiency
+    faster than they save MACs (2.67/3.35 ms).  Pick the largest
+    measured-good strip that tiles n_pad exactly."""
+    for strip in (512, 256, 128):
+        if n_pad % strip == 0:
+            return strip
+    return n_pad
+
+
 def mirror_upper_device(s, strip: int = 128):
     """Device-side mirror for ``cooccurrence_pallas_sym`` output.
 
@@ -496,9 +510,9 @@ def shared_kmer_matrix_pallas(
     n_limbs = w_limbs.shape[1]
     num_colors = len(new_weights)
     # symmetric row-strip kernel whenever the whole accumulator fits VMEM
-    # (~1.3x the full-square kernel: upper-triangle-only MXU work)
-    strip = 128
-    n_pad_sym = max(strip, -(-n // strip) * strip)
+    # (~1.4x the full-square kernel: upper-triangle-only MXU work)
+    n_pad_sym = max(128, -(-n // 128) * 128)
+    strip = best_strip(n_pad_sym)
     use_sym = tile is None and sym_fits(
         n_pad_sym, block, n_limbs, compute_dtype
     )

@@ -32,10 +32,11 @@ def _device_body_pallas(bits, w_limbs, block: int, n_pad: int, n_limbs: int,
 
     bits_t = jnp.swapaxes(bits, 1, 2)  # [NB, n_pad/8, block]
     wl_t = jnp.swapaxes(w_limbs, 1, 2)  # [NB, L, block]
+    strip = pp.best_strip(n_pad)
     acc = pp.cooccurrence_pallas_sym.__wrapped__(
-        bits_t, wl_t, block, n_pad, n_limbs, interpret=interpret
+        bits_t, wl_t, block, n_pad, n_limbs, strip=strip, interpret=interpret
     )
-    return pp.mirror_upper_device(acc)
+    return pp.mirror_upper_device(acc, strip)
 
 
 def _device_body(bits, w_limbs, block: int, n_pad: int, n_limbs: int, axis=None):

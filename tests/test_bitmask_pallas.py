@@ -63,6 +63,25 @@ def test_pallas_sym_single_strip(rng):
     assert np.array_equal(s1, s2)
 
 
+def test_pallas_sym_wide_strip(rng):
+    # n_pad=512 selects the 512-row strip (the TPU-measured optimum);
+    # one strip == the whole panel, diagonal-complete
+    o, m, w = random_csr(rng, 400, 512, max_degree=8, max_weight=40000)
+    s1 = shared_kmer_matrix_pallas(o, m, w, 512, block=128)
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, 512)
+    assert np.array_equal(s1, s2)
+
+
+def test_best_strip():
+    from kspider_tpu.ops.pallas_pairwise import best_strip
+
+    assert best_strip(1024) == 512
+    assert best_strip(512) == 512
+    assert best_strip(768) == 256
+    assert best_strip(640) == 128
+    assert best_strip(128) == 128
+
+
 def test_engine_dispatcher(rng):
     o, m, w = random_csr(rng, 300, 60, max_degree=6, max_weight=1000)
     s_ref = pw.shared_kmer_matrix_numpy(o, m, w, 60)

@@ -65,6 +65,9 @@ def sketch(ctx, fastx_path, r1, r2, chunk_size, ksize, protein, dayhoff, scale, 
         res = sketch_core.sketch_single_end(fastx_path, ksize, scale=scale, hasher=hasher, remove_singletons=singletons)
         base = output or os.path.basename(fastx_path)
 
+    out_dir = os.path.dirname(base)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     if out_format == "sig":
         out_path = base + ".sig"
         sigs_io.write_sig(out_path, base, res.hashes.tolist(), ksize, scaled=scale)

@@ -53,6 +53,23 @@ def test_tiled_matches_numpy(rng, panel):
     assert np.array_equal(s1, s2)
 
 
+def test_tiled_pallas_matches_numpy(rng):
+    # Pallas engine in interpret mode (real TPUs compile this path):
+    # multi-tile panels so diagonal pairs take the triangular kernel and
+    # off-diagonal pairs the rectangular one
+    n = 700
+    o, m, w = random_csr(rng, 500, n, max_degree=12, max_weight=40000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    s1 = assemble(
+        tp.iter_panel_pairs(
+            plan, engine="pallas", block=128, tile=128, interpret=True
+        ),
+        n,
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
 def test_tiled_sharded_mesh_matches_numpy(rng):
     from kspider_tpu.parallel.mesh import make_mesh
 

@@ -88,8 +88,9 @@ def sketch(ctx, fastx_path, r1, r2, chunk_size, ksize, protein, dayhoff, scale, 
 @click.option("--sourmash", "sourmash", is_flag=True, show_default=True, default=False, help="index sourmash signature (.sig) files")
 @click.option("--bins", "bins", is_flag=True, show_default=True, default=False, help="index .bin hash-set files")
 @click.option("-o", "--output", "output_prefix", required=False, default=None, help="index output prefix (default: directory basename, in CWD)")
+@click.option("--device-build", "device_build", is_flag=True, default=False, help="run the postings sort/dedup/singleton filter on the accelerator (ops/device_build.py); wins for large posting sets on a fast link")
 @click.pass_context
-def index(ctx, sketches_dir, sourmash, bins, ksize, output_prefix):
+def index(ctx, sketches_dir, sourmash, bins, ksize, output_prefix, device_build):
     """Index all sketches in a directory."""
     from kspider_tpu.core import dataset
 
@@ -101,7 +102,7 @@ def index(ctx, sketches_dir, sourmash, bins, ksize, output_prefix):
         if not ksize:
             log.ERROR("must select kSize when using --sourmash")
         log.INFO(f"Indexing sourmash sigs in {sketches_dir} with kSize={ksize}.")
-        dataset.index_sigs_dir(sketches_dir, ksize, output_prefix=output_prefix, logger=log)
+        dataset.index_sigs_dir(sketches_dir, ksize, output_prefix=output_prefix, logger=log, device_build=device_build)
         log.SUCCESS("DONE!")
         return
 
@@ -110,7 +111,7 @@ def index(ctx, sketches_dir, sourmash, bins, ksize, output_prefix):
         if not ksize:
             log.ERROR("must select kSize when indexing .bin sketches")
         log.INFO(f"Indexing bins in {sketches_dir}.")
-        dataset.index_bins_dir(sketches_dir, ksize, output_prefix=output_prefix, logger=log)
+        dataset.index_bins_dir(sketches_dir, ksize, output_prefix=output_prefix, logger=log, device_build=device_build)
         log.SUCCESS("DONE!")
         return
 
@@ -127,7 +128,7 @@ def index(ctx, sketches_dir, sourmash, bins, ksize, output_prefix):
         )
     log.INFO(f"Indexing sketches in {sketches_dir}.")
     try:
-        dataset.index_kf_dir(sketches_dir, output_prefix=output_prefix, logger=log)
+        dataset.index_kf_dir(sketches_dir, output_prefix=output_prefix, logger=log, device_build=device_build)
     except ValueError as e:
         log.ERROR(str(e))
     log.SUCCESS("DONE!")

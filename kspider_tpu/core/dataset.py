@@ -21,6 +21,18 @@ import numpy as np
 
 from kspider_tpu.core.constants import HashingMode, SlicingMode
 from kspider_tpu.core.index import ColorIndex, build_index_from_hash_sets
+
+
+def _builder(device_build: bool):
+    """Pick the index builder: the host lexsort build (default — on this
+    class of dataset the u64 sort is host-bound but transfer-free) or the
+    on-device sort/run-length build (ops/device_build.py; wins when the
+    postings set is large and the accelerator link is fast)."""
+    if device_build:
+        from kspider_tpu.core.index import build_index_device
+
+        return build_index_device
+    return build_index_from_hash_sets
 from kspider_tpu.io import artifacts as artifacts_io
 from kspider_tpu.io import phmap as phmap_io
 from kspider_tpu.io import sigs as sigs_io
@@ -42,6 +54,7 @@ def index_sigs_dir(
     output_prefix: Optional[str] = None,
     logger: Optional[Logger] = None,
     write_artifacts: bool = True,
+    device_build: bool = False,
 ) -> ColorIndex:
     """Index every ``.sig`` in a directory at the given k.
 
@@ -76,7 +89,7 @@ def index_sigs_dir(
         hash_arrays[gid] = mins
         kmer_counts[gid] = len(mins)
 
-    index = build_index_from_hash_sets(
+    index = _builder(device_build)(
         names,
         hash_arrays,
         kmer_counts=kmer_counts,
@@ -96,6 +109,7 @@ def index_kf_dir(
     output_prefix: Optional[str] = None,
     logger: Optional[Logger] = None,
     write_artifacts: bool = True,
+    device_build: bool = False,
 ) -> ColorIndex:
     """Index a directory of kProcessor-style ``.phmap`` sketches
     (best-effort layout decoding; see io/phmap.read_phmap_sketch).
@@ -140,7 +154,7 @@ def index_kf_dir(
         names.append(base)
         hash_arrays.append(hashes)
 
-    index = build_index_from_hash_sets(
+    index = _builder(device_build)(
         names,
         hash_arrays,
         ksize=detected_ksize,
@@ -160,6 +174,7 @@ def index_bins_dir(
     output_prefix: Optional[str] = None,
     logger: Optional[Logger] = None,
     write_artifacts: bool = True,
+    device_build: bool = False,
 ) -> ColorIndex:
     """Index every ``.bin`` (phmap hash-set dump) in a directory.
 
@@ -188,7 +203,7 @@ def index_bins_dir(
         log.INFO(f"Processing {i + 1}/{len(paths)} | {names[i]} ({len(hashes)} kmers)")
         hash_arrays.append(hashes)
 
-    index = build_index_from_hash_sets(
+    index = _builder(device_build)(
         names,
         hash_arrays,
         ksize=ksize,

@@ -49,3 +49,32 @@ def test_device_build_with_ghost_group(rng):
     dev = build_index_device(["a", "b", "ghost"], [a, b, None])
     assert np.array_equal(host.color_counts, dev.color_counts)
     assert np.array_equal(host.group_kmer_count, dev.group_kmer_count)
+
+
+def test_index_cli_device_build_flag(tmp_path, rng, monkeypatch):
+    # `kspider index --device-build` routes through build_index_device and
+    # yields artifacts identical to the host build
+    from click.testing import CliRunner
+
+    from kspider_tpu.cli.main import cli
+    from kspider_tpu.io import sigs as sigs_io
+
+    sigs = tmp_path / "sigs"
+    sigs.mkdir()
+    universe = np.unique(rng.integers(0, 2**50, size=2000, dtype=np.uint64))
+    for g in range(4):
+        h = np.sort(rng.choice(universe, size=300, replace=False))
+        sigs_io.write_sig(str(sigs / f"g{g}.sig"), f"g{g}", h.tolist(), 21)
+
+    runner = CliRunner()
+    outs = {}
+    for flag, prefix in ((), "host"), (("--device-build",), "dev"):
+        monkeypatch.chdir(tmp_path)
+        res = runner.invoke(
+            cli,
+            ["index", "--sourmash", "--dir", str(sigs), "-k", "21",
+             "-o", prefix, *flag],
+        )
+        assert res.exit_code == 0, res.output
+        outs[prefix] = (tmp_path / f"{prefix}_color_to_sources.bin").read_bytes()
+    assert outs["host"] == outs["dev"]

@@ -311,6 +311,12 @@ def iter_panel_pairs(
     the exact shared-k-mer counts >= min_shared.  Passing ``mesh`` shards
     each pair's color blocks over the mesh (engine "sharded").
     """
+    if mesh is None and engine == "auto" and len(jax.devices()) > 1:
+        # all-device data parallelism over each pair's color blocks, same
+        # auto rule as ops.pairwise.shared_kmer_matrix
+        from kspider_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     if mesh is not None:
         engine = "sharded"
     elif engine == "auto":

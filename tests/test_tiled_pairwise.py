@@ -53,6 +53,20 @@ def test_tiled_matches_numpy(rng, panel):
     assert np.array_equal(s1, s2)
 
 
+def test_tiled_auto_uses_mesh_on_multidevice(rng):
+    # engine="auto" on a multi-device backend (the 8-device virtual CPU
+    # mesh here) must shard the color blocks, same rule as the
+    # full-matrix dispatcher — and still be exact
+    n = 600
+    o, m, w = random_csr(rng, 400, n, max_degree=10, max_weight=1000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    s1 = assemble(
+        tp.iter_panel_pairs(plan, engine="auto", block=128, tile=128), n
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
 def test_tiled_pallas_matches_numpy(rng):
     # Pallas engine in interpret mode (real TPUs compile this path):
     # multi-tile panels so diagonal pairs take the triangular kernel and

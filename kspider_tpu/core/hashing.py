@@ -6,10 +6,12 @@ submodule; its call sites use ``mumur_hasher`` for sketches
 ``nonCanonicalInteger_Hasher`` for FASTA indexing
 (/root/reference/src/index.cpp:54-60).  We re-derive:
 
-- ``murmur64``: MurmurHash64A (the 64-bit Appleby hash).  The sourmash
-  ecosystem hashes the canonical k-mer *string* with seed 42 — that is the
-  convention that makes our sketches interoperable with sourmash ``mins``;
-  ``kmer_hashes_sourmash`` implements it.
+- ``murmur3_64``: first 64 bits of MurmurHash3_x64_128.  The sourmash
+  ecosystem hashes the canonical k-mer *string* with this function at
+  seed 42 — the convention that makes our sketches interoperable with
+  sourmash ``mins``; ``kmer_hashes_sourmash`` implements it.
+- ``murmur64``: MurmurHash64A (the 64-bit Appleby hash), used for the
+  kProcessor-style ``murmur_int`` hasher.
 - ``integer_hash``: the invertible Thomas-Wang 64-bit mix used by
   MQF-family tools, masked to 2k bits, applied to the canonical 2-bit
   k-mer encoding.
@@ -78,6 +80,89 @@ def murmur64(rows: np.ndarray, seed: int = 42) -> np.ndarray:
         h *= _M
         h ^= h >> _R
     return h
+
+
+_C1 = np.uint64(0x87C37B91114253D5)
+_C2 = np.uint64(0x4CF5AB2ED98D3622)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k ^= k >> np.uint64(33)
+    k *= np.uint64(0xFF51AFD7ED558CCD)
+    k ^= k >> np.uint64(33)
+    k *= np.uint64(0xC4CEB9FE1A85EC53)
+    k ^= k >> np.uint64(33)
+    return k
+
+
+def murmur3_64(rows: np.ndarray, seed: int = 42) -> np.ndarray:
+    """First 64 bits of MurmurHash3_x64_128 over each row of a (n, length)
+    uint8 matrix — the hash sourmash applies to canonical k-mer strings
+    (seed 42).  Checked in tests against an independent scalar
+    implementation of the canonical smhasher algorithm."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    if rows.ndim == 1:
+        rows = rows[None, :]
+    n, length = rows.shape
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, np.uint64(seed))
+        h2 = np.full(n, np.uint64(seed))
+        nblocks = length // 16
+        if nblocks:
+            blocks = (
+                rows[:, : nblocks * 16]
+                .reshape(n, nblocks * 2, 8)
+                .view("<u8")
+                .reshape(n, nblocks, 2)
+            )
+            for i in range(nblocks):
+                k1 = blocks[:, i, 0].copy()
+                k2 = blocks[:, i, 1].copy()
+                k1 *= _C1
+                k1 = _rotl64(k1, 31)
+                k1 *= _C2
+                h1 ^= k1
+                h1 = _rotl64(h1, 27)
+                h1 += h2
+                h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+                k2 *= _C2
+                k2 = _rotl64(k2, 33)
+                k2 *= _C1
+                h2 ^= k2
+                h2 = _rotl64(h2, 31)
+                h2 += h1
+                h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+        tail = length & 15
+        base = nblocks * 16
+        if tail > 8:
+            k2 = np.zeros(n, dtype=np.uint64)
+            for i in range(tail - 1, 7, -1):
+                k2 = (k2 << np.uint64(8)) | rows[:, base + i].astype(np.uint64)
+            k2 *= _C2
+            k2 = _rotl64(k2, 33)
+            k2 *= _C1
+            h2 ^= k2
+        if tail > 0:
+            k1 = np.zeros(n, dtype=np.uint64)
+            for i in range(min(tail, 8) - 1, -1, -1):
+                k1 = (k1 << np.uint64(8)) | rows[:, base + i].astype(np.uint64)
+            k1 *= _C1
+            k1 = _rotl64(k1, 31)
+            k1 *= _C2
+            h1 ^= k1
+        h1 ^= np.uint64(length)
+        h2 ^= np.uint64(length)
+        h1 += h2
+        h2 += h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 += h2
+    return h1
 
 
 def integer_hash(kmers: np.ndarray, ksize: int) -> np.ndarray:
@@ -157,11 +242,13 @@ def canonical_kmers(sequence: str, ksize: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def kmer_hashes_sourmash(sequence: str, ksize: int) -> np.ndarray:
-    """sourmash-convention hashes: murmur64(canonical kmer string, seed=42)."""
+    """sourmash-convention hashes: first 64 bits of
+    MurmurHash3_x64_128(canonical kmer string, seed=42) — interoperable
+    with hashes in real sourmash ``.sig`` files."""
     canon, _ = canonical_kmers(sequence, ksize)
     if len(canon) == 0:
         return np.empty(0, dtype=np.uint64)
-    return murmur64(canon, seed=42)
+    return murmur3_64(canon, seed=42)
 
 
 def kmer_hashes_integer(

@@ -49,6 +49,10 @@ def _try_load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_uint64, u64p,
         ]
+        lib.ks_murmur3_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, u64p,
+        ]
         lib.ks_integer_hash_batch.argtypes = [
             u64p, ctypes.c_int64, ctypes.c_int, u64p,
         ]
@@ -107,6 +111,22 @@ def available() -> bool:
 
 def _as_u64p(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def murmur3_batch(rows: np.ndarray, seed: int = 42) -> np.ndarray:
+    """First 64 bits of MurmurHash3_x64_128 per row (sourmash convention)."""
+    lib = _try_load()
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    n, length = rows.shape
+    out = np.empty(n, dtype=np.uint64)
+    lib.ks_murmur3_batch(
+        rows.ctypes.data_as(ctypes.c_char_p),
+        n,
+        length,
+        ctypes.c_uint64(seed),
+        _as_u64p(out),
+    )
+    return out
 
 
 def murmur64_batch(rows: np.ndarray, seed: int = 42) -> np.ndarray:

@@ -33,8 +33,10 @@ extern "C" {
 void ks_free(void* p) { free(p); }
 
 // ---------------------------------------------------------------------------
-// MurmurHash64A (Austin Appleby's 64-bit hash; public domain algorithm).
-// The sourmash ecosystem hashes canonical k-mer strings with seed 42.
+// MurmurHash64A (Austin Appleby's 64-bit hash; public domain algorithm) —
+// used for the kProcessor-style murmur_int path — and MurmurHash3_x64_128
+// (first 64 bits), the hash sourmash applies to canonical k-mer strings
+// with seed 42.
 // ---------------------------------------------------------------------------
 
 static inline uint64_t murmur64a(const uint8_t* data, size_t len, uint64_t seed) {
@@ -71,6 +73,61 @@ void ks_murmur64_batch(const uint8_t* rows, int64_t n, int64_t len,
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         out[i] = murmur64a(rows + i * len, (size_t)len, seed);
+    }
+}
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t fmix64(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    k *= 0xc4ceb9fe1a85ec53ULL;
+    k ^= k >> 33;
+    return k;
+}
+
+// First 64 bits of MurmurHash3_x64_128 (canonical smhasher algorithm).
+static inline uint64_t murmur3_64(const uint8_t* data, size_t len,
+                                  uint64_t seed) {
+    const uint64_t c1 = 0x87c37b91114253d5ULL;
+    const uint64_t c2 = 0x4cf5ab2ed98d3622ULL;
+    uint64_t h1 = seed, h2 = seed;
+    const size_t nblocks = len / 16;
+    for (size_t i = 0; i < nblocks; i++) {
+        uint64_t k1, k2;
+        memcpy(&k1, data + i * 16, 8);
+        memcpy(&k2, data + i * 16 + 8, 8);
+        k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+        h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729ULL;
+        k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+        h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5ULL;
+    }
+    const uint8_t* tail = data + nblocks * 16;
+    const size_t t = len & 15;
+    uint64_t k1 = 0, k2 = 0;
+    if (t > 8) {
+        for (size_t i = t; i-- > 8;) k2 = (k2 << 8) | tail[i];
+        k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+    }
+    if (t > 0) {
+        const size_t m = t < 8 ? t : 8;
+        for (size_t i = m; i-- > 0;) k1 = (k1 << 8) | tail[i];
+        k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+    }
+    h1 ^= (uint64_t)len; h2 ^= (uint64_t)len;
+    h1 += h2; h2 += h1;
+    h1 = fmix64(h1); h2 = fmix64(h2);
+    return h1 + h2;
+}
+
+void ks_murmur3_batch(const uint8_t* rows, int64_t n, int64_t len,
+                      uint64_t seed, uint64_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        out[i] = murmur3_64(rows + i * len, (size_t)len, seed);
     }
 }
 
@@ -146,7 +203,8 @@ struct Tables {
 };
 static const Tables kTables;
 
-// Hash every canonical k-mer of seq (sourmash string convention, seed 42),
+// Hash every canonical k-mer of seq (sourmash convention:
+// MurmurHash3_x64_128 first 64 bits, seed 42),
 // appending hashes < max_hash to out.  Counts every window (valid or not
 // containing invalid bases are skipped entirely).
 void hash_sequence_sourmash(const std::string& seq, int k, uint64_t max_hash,
@@ -169,7 +227,7 @@ void hash_sequence_sourmash(const std::string& seq, int k, uint64_t max_hash,
             rcv[k - 1 - j] = (char)kTables.comp[(uint8_t)c];
         }
         const std::string& canon = (rcv < fwd) ? rcv : fwd;
-        uint64_t h = murmur64a((const uint8_t*)canon.data(), (size_t)k, 42);
+        uint64_t h = murmur3_64((const uint8_t*)canon.data(), (size_t)k, 42);
         if (h < max_hash) out.push_back(h);
     }
 }
@@ -207,7 +265,7 @@ int sketch_stream(const char* path, int k, uint64_t max_hash,
 
 }  // namespace
 
-// Sketch one file: canonical k-mers, murmur64 seed 42 (sourmash
+// Sketch one file: canonical k-mers, murmur3 x64_128 seed 42 (sourmash
 // convention), keep hash < UINT64_MAX/scale, return UNIQUE sorted hashes.
 // Returns 0 on success.  *out is malloc'd; free with ks_free.
 int ks_sketch_file(const char* path, int k, uint64_t scale, uint64_t** out,

@@ -56,6 +56,92 @@ def test_murmur_matches_native():
         )
 
 
+def _mmh3_x64_128_h1_scalar(data: bytes, seed: int) -> int:
+    # independent scalar transcription of the canonical smhasher
+    # MurmurHash3_x64_128 (first 64 bits of the digest)
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & M
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & M
+        k ^= k >> 33
+        return k
+
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AB2ED98D3622
+    h1 = h2 = seed
+    nblocks = len(data) // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * c1) & M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & M
+        h1 ^= k1
+        h1 = rotl(h1, 27)
+        h1 = (h1 + h2) & M
+        h1 = (h1 * 5 + 0x52DCE729) & M
+        k2 = (k2 * c2) & M
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & M
+        h2 ^= k2
+        h2 = rotl(h2, 31)
+        h2 = (h2 + h1) & M
+        h2 = (h2 * 5 + 0x38495AB5) & M
+    tail = data[nblocks * 16 :]
+    t = len(tail)
+    k1 = k2 = 0
+    if t > 8:
+        for i in range(t - 1, 7, -1):
+            k2 = (k2 << 8) | tail[i]
+        k2 = (k2 * c2) & M
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & M
+        h2 ^= k2
+    if t > 0:
+        for i in range(min(t, 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[i]
+        k1 = (k1 * c1) & M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & M
+        h1 ^= k1
+    h1 ^= len(data)
+    h2 ^= len(data)
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    return (h1 + h2) & M
+
+
+def test_murmur3_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    for length in (1, 3, 7, 8, 9, 15, 16, 17, 21, 31, 32, 40):
+        rows = rng.integers(0, 256, size=(50, length), dtype=np.uint8)
+        got = hashing.murmur3_64(rows, seed=42)
+        expect = [
+            _mmh3_x64_128_h1_scalar(bytes(r.tobytes()), 42) for r in rows
+        ]
+        assert got.tolist() == expect, length
+
+
+def test_murmur3_matches_native():
+    from kspider_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(1)
+    for length in (3, 8, 13, 21, 31, 64):
+        rows = rng.integers(0, 256, size=(200, length), dtype=np.uint8)
+        assert np.array_equal(
+            native.murmur3_batch(rows, 42), hashing.murmur3_64(rows, 42)
+        )
+
+
 def test_integer_hash_invertible_range():
     ks = 21
     x = np.arange(1000, dtype=np.uint64)

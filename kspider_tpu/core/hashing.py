@@ -83,7 +83,7 @@ def murmur64(rows: np.ndarray, seed: int = 42) -> np.ndarray:
 
 
 _C1 = np.uint64(0x87C37B91114253D5)
-_C2 = np.uint64(0x4CF5AB2ED98D3622)
+_C2 = np.uint64(0x4CF5AD432745937F)
 
 
 def _rotl64(x: np.ndarray, r: int) -> np.ndarray:

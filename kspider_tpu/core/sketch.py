@@ -12,8 +12,10 @@ serialization is not reproducible (submodule absent), so sketches are
 persisted as sourmash-compatible ``.sig`` JSON or phmap-dump ``.bin`` hash
 sets — both of which the indexing stage (and the reference's own
 bins/sourmash paths) consume directly.  Hashing defaults to the sourmash
-convention (murmur64 of the canonical k-mer string, seed 42) for ecosystem
-interop; kProcessor-style integer hashing is available via ``hasher=``.
+convention (first 64 bits of MurmurHash3_x64_128 of the canonical k-mer
+string at seed 42, pinned to sourmash's own test vectors) for ecosystem
+interop; kProcessor-style integer and MurmurHash64A hashing are available
+via ``hasher=``.
 """
 
 import os

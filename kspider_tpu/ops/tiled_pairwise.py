@@ -216,10 +216,13 @@ def _gram_rect_xla(bits_i, bits_j, wl, block: int, n_limbs: int):
     return _rect_scan(bits_i, bits_j, wl, n_limbs)
 
 
-def _gram_rect_sharded(bits_i, bits_j, wl, n_limbs: int, mesh):
-    """Mesh-parallel tile engine: color blocks sharded over the mesh's
-    ``shards`` axis, per-device partial tiles merged with one psum over
-    ICI.  Block count must be a multiple of the mesh size."""
+@functools.lru_cache(maxsize=8)
+def _gram_rect_sharded_fn(mesh, n_limbs: int):
+    """Build (and cache) the jitted shard_map tile engine for a mesh.
+
+    Cached at module level keyed by (mesh, n_limbs) so repeat panel-pair
+    chunks on the multichip tiled path hit the jit trace cache instead of
+    retracing a fresh closure every call (jax.Mesh is hashable)."""
     from jax.sharding import PartitionSpec as P
 
     from kspider_tpu.parallel.mesh import SHARD_AXIS
@@ -238,7 +241,14 @@ def _gram_rect_sharded(bits_i, bits_j, wl, n_limbs: int, mesh):
         acc = _rect_scan(bi, bj, w, n_limbs, axis=SHARD_AXIS)
         return jax.lax.psum(acc, SHARD_AXIS)
 
-    return jax.jit(run)(bits_i, bits_j, wl)
+    return jax.jit(run)
+
+
+def _gram_rect_sharded(bits_i, bits_j, wl, n_limbs: int, mesh):
+    """Mesh-parallel tile engine: color blocks sharded over the mesh's
+    ``shards`` axis, per-device partial tiles merged with one psum over
+    ICI.  Block count must be a multiple of the mesh size."""
+    return _gram_rect_sharded_fn(mesh, n_limbs)(bits_i, bits_j, wl)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))

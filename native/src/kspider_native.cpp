@@ -93,7 +93,7 @@ static inline uint64_t fmix64(uint64_t k) {
 static inline uint64_t murmur3_64(const uint8_t* data, size_t len,
                                   uint64_t seed) {
     const uint64_t c1 = 0x87c37b91114253d5ULL;
-    const uint64_t c2 = 0x4cf5ab2ed98d3622ULL;
+    const uint64_t c2 = 0x4cf5ad432745937fULL;
     uint64_t h1 = seed, h2 = seed;
     const size_t nblocks = len / 16;
     for (size_t i = 0; i < nblocks; i++) {

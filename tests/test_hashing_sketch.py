@@ -72,7 +72,7 @@ def _mmh3_x64_128_h1_scalar(data: bytes, seed: int) -> int:
         k ^= k >> 33
         return k
 
-    c1, c2 = 0x87C37B91114253D5, 0x4CF5AB2ED98D3622
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
     h1 = h2 = seed
     nblocks = len(data) // 16
     for i in range(nblocks):
@@ -116,6 +116,22 @@ def _mmh3_x64_128_h1_scalar(data: bytes, seed: int) -> int:
     h1 = fmix(h1)
     h2 = fmix(h2)
     return (h1 + h2) & M
+
+
+def test_murmur3_external_known_answer_vectors():
+    """Known-answer vectors pinned to EXTERNAL sources (not same-author
+    transcriptions): ``hash('ACG', 42)`` is sourmash's own test vector for
+    its k-mer hash (first 64 bits of MurmurHash3_x64_128 at seed 42);
+    ``hash('foo', 0)`` is the widely published mmh3 doc vector.  These
+    catch wrong-constant bugs that three same-author replicas all miss."""
+    acg = np.frombuffer(b"ACG", dtype=np.uint8)
+    assert int(hashing.murmur3_64(acg, seed=42)[0]) == 1731421407650554201
+    foo = np.frombuffer(b"foo", dtype=np.uint8)
+    assert int(hashing.murmur3_64(foo, seed=0)[0]) == 16316970633193145697
+    # 16-byte (full-block) and >16-byte inputs, from the mmh3 library docs:
+    # mmh3.hash64('hello', signed=False) -> (14688674573012802306, ...)
+    hello = np.frombuffer(b"hello", dtype=np.uint8)
+    assert int(hashing.murmur3_64(hello, seed=0)[0]) == 14688674573012802306
 
 
 def test_murmur3_matches_scalar_reference():

@@ -1,5 +1,10 @@
 """Click group with help-priority ordering, like the reference's
-``SpecialHelpOrder`` (/root/reference/pykSpider/kSpider2/click_context.py:6-44)."""
+``SpecialHelpOrder`` (/root/reference/pykSpider/kSpider2/click_context.py:6-44).
+
+Attribution: the help-priority Group pattern below is the public click
+recipe from Stack Overflow (https://stackoverflow.com/a/47984810,
+CC BY-SA) that the reference's ``SpecialHelpOrder`` is also built on —
+kept structurally intact for CLI help-output parity."""
 
 import click
 

@@ -266,7 +266,7 @@ def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, en
         log.ERROR("estimating ANI requires to provide --scale value")
     with open(f"{index_prefix}.extra") as extra:
         ksize = int(next(extra))
-    ani_model.write_ani_column(index_prefix, ksize, sourmash_scale)
+    ani_model.write_ani_column(index_prefix, ksize, sourmash_scale, logger=log)
     log.SUCCESS("Done.")
 
 

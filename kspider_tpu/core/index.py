@@ -180,19 +180,26 @@ def build_index_from_hash_sets(
     hashes = np.concatenate(chunks)
     gids = np.concatenate(gid_chunks)
 
-    # native fast path for large posting sets
+    # native fast path for large posting sets (failure warns once or, under
+    # KSPIDER_NATIVE=force, raises — see io/native.report_fallback)
     if len(hashes) >= 1_000_000:
-        try:
-            from kspider_tpu.io import native
+        from kspider_tpu.io import native
 
-            if native.available():
+        if native.enabled():
+            try:
+                if not native.available():
+                    raise RuntimeError(
+                        f"native library failed to load: {native.load_error()!r}"
+                    )
                 offsets, members, class_counts = native.build_colors(hashes, gids)
                 return _finish_index(
                     names, counts, offsets, members, class_counts,
                     ksize, hash_mode, slicing_mode, params,
                 )
-        except Exception:
-            pass
+            except native.NativeRequiredError:
+                raise
+            except Exception as exc:
+                native.report_fallback("build_colors", exc)
 
     order = np.lexsort((gids, hashes))
     hashes = hashes[order]

@@ -79,16 +79,22 @@ def write_pairwise_tsv(
     """Emit ``{p}_kSpider_pairwise.tsv``; returns the number of pair rows."""
     n = index.num_groups
     counts64 = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
-    try:
-        from kspider_tpu.io import native
+    from kspider_tpu.io import native
 
-        if native.available():
+    if native.enabled():
+        try:
+            if not native.available():
+                raise RuntimeError(
+                    f"native library failed to load: {native.load_error()!r}"
+                )
             native.write_pairwise_tsv(
                 prefix + "_kSpider_pairwise.tsv", shared, counts64
             )
             return int((shared > 0).sum()) // 2
-    except Exception:
-        pass
+        except native.NativeRequiredError:
+            raise
+        except Exception as exc:
+            native.report_fallback("write_pairwise_tsv", exc)
     iu, ju = np.triu_indices(n, k=1)
     s = shared[iu, ju]
     nz = s > 0
@@ -131,16 +137,22 @@ def write_pairwise_rows_coo(
 
     Used by the panel-streamed engine (ops/tiled_pairwise.py); emits the
     exact row format of ``write_pairwise_tsv``."""
-    try:
-        from kspider_tpu.io import native
+    from kspider_tpu.io import native
 
-        if native.available():
+    if native.enabled():
+        try:
+            if not native.available():
+                raise RuntimeError(
+                    f"native library failed to load: {native.load_error()!r}"
+                )
             native.write_pairwise_coo(
                 path, gi, gj, shared, kmer_counts, header
             )
             return
-    except Exception:
-        pass
+        except native.NativeRequiredError:
+            raise
+        except Exception as exc:
+            native.report_fallback("write_pairwise_coo", exc)
     counts = np.asarray(kmer_counts, dtype=np.int64)
     cmin, cavg, cmax = containment_columns(
         np.asarray(shared, dtype=np.int64), counts[gi], counts[gj]

@@ -86,14 +86,25 @@ def _sketch_streams(
 
 
 def _native_sketch(path: str, ksize: int, scale: int):
-    """Native C++ fast path (sourmash hashing, no singleton filtering)."""
-    try:
-        from kspider_tpu.io import native
+    """Native C++ fast path (sourmash hashing, no singleton filtering).
 
-        if native.available():
-            return native.sketch_file(path, ksize, scale)
-    except Exception:
-        pass
+    Failures are never silent: under KSPIDER_NATIVE=auto a one-time
+    RuntimeWarning is emitted and the numpy path takes over; under
+    KSPIDER_NATIVE=force the failure raises."""
+    from kspider_tpu.io import native
+
+    if not native.enabled():
+        return None
+    try:
+        if not native.available():
+            raise RuntimeError(
+                f"native library failed to load: {native.load_error()!r}"
+            )
+        return native.sketch_file(path, ksize, scale)
+    except native.NativeRequiredError:
+        raise
+    except Exception as exc:
+        native.report_fallback("sketch_file", exc)
     return None
 
 

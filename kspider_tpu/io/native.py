@@ -5,15 +5,71 @@ Provides the host-side fast paths: streaming FASTA/FASTQ sketching, phmap
 baseline.  Every entry point has a pure-Python fallback elsewhere in the
 package; ``available()`` gates usage.  The library is built on demand with
 ``make -C native`` (g++ is part of the supported environment).
+
+Fallback policy (``KSPIDER_NATIVE`` env var):
+
+- ``auto`` (default): use native when loadable; on load or call failure
+  emit a **one-time RuntimeWarning** naming the failed entry point and
+  fall back to the pure-Python path.  Failures are never silent.
+- ``force``: any native load/call failure raises ``NativeRequiredError``
+  instead of degrading — use in benchmarks and CI where a silent
+  slow-path would corrupt measurements.
+- ``off``: never load or use the native library.
 """
 
 import ctypes
 import os
 import subprocess
 import threading
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+class NativeRequiredError(RuntimeError):
+    """Raised when KSPIDER_NATIVE=force and the native path fails."""
+
+
+def _mode() -> str:
+    return os.environ.get("KSPIDER_NATIVE", "auto").strip().lower()
+
+
+def enabled() -> bool:
+    """False when the user forbade the native library (KSPIDER_NATIVE=off)."""
+    return _mode() not in ("off", "0", "forbid", "disable", "disabled")
+
+
+def required() -> bool:
+    """True when the user demands the native path (KSPIDER_NATIVE=force)."""
+    return _mode() in ("force", "require", "required")
+
+
+_warned_fallbacks = set()
+
+
+def report_fallback(what: str, exc: Optional[BaseException] = None) -> None:
+    """Record a native fast-path failure.
+
+    Under ``KSPIDER_NATIVE=force`` raises ``NativeRequiredError``;
+    otherwise warns once per entry point (RuntimeWarning) so a broken
+    ``libkspider_native.so`` can never silently degrade throughput or
+    bit-parity guarantees.
+    """
+    if required():
+        raise NativeRequiredError(
+            f"KSPIDER_NATIVE=force but native fast path '{what}' failed"
+        ) from exc
+    if what not in _warned_fallbacks:
+        _warned_fallbacks.add(what)
+        warnings.warn(
+            f"kspider native fast path '{what}' unavailable "
+            f"({exc!r}); falling back to the pure-Python implementation "
+            "(set KSPIDER_NATIVE=force to make this an error, "
+            "KSPIDER_NATIVE=off to silence)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
@@ -22,10 +78,18 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libkspider_native.so")
 _lib = None
 _lock = threading.Lock()
 _build_attempted = False
+_load_error: Optional[BaseException] = None
+
+
+def load_error() -> Optional[BaseException]:
+    """The exception from the last failed load attempt, if any."""
+    return _load_error
 
 
 def _try_load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_attempted
+    global _lib, _build_attempted, _load_error
+    if not enabled():
+        return None
     with _lock:
         if _lib is not None:
             return _lib
@@ -38,11 +102,18 @@ def _try_load() -> Optional[ctypes.CDLL]:
                     capture_output=True,
                     timeout=120,
                 )
-            except Exception:
+            except Exception as exc:
+                _load_error = exc
                 return None
         if not os.path.exists(_LIB_PATH):
+            if _load_error is None:
+                _load_error = FileNotFoundError(_LIB_PATH)
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as exc:
+            _load_error = exc
+            return None
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.ks_free.argtypes = [ctypes.c_void_p]
         lib.ks_murmur64_batch.argtypes = [

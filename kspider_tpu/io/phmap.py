@@ -277,13 +277,15 @@ def read_color_to_sources(path):
     Returns ``(colors u64[C], offsets i64[C+1], members i64[P])`` with each
     color's members sorted ascending.
     """
-    try:
-        from kspider_tpu.io import native
+    from kspider_tpu.io import native
 
-        if native.available():
+    if native.enabled() and native.available():
+        try:
             return native.read_color_to_sources(path)
-    except Exception:
-        pass
+        except native.NativeRequiredError:
+            raise
+        except Exception as exc:
+            native.report_fallback("read_color_to_sources", exc)
     colors = []
     member_arrays = []
     with PhmapReader(path) as r:
@@ -305,14 +307,16 @@ def read_color_to_sources(path):
 
 
 def write_color_to_sources(path, colors, offsets, members) -> None:
-    try:
-        from kspider_tpu.io import native
+    from kspider_tpu.io import native
 
-        if native.available():
+    if native.enabled() and native.available():
+        try:
             native.write_color_to_sources(path, colors, offsets, members)
             return
-    except Exception:
-        pass
+        except native.NativeRequiredError:
+            raise
+        except Exception as exc:
+            native.report_fallback("write_color_to_sources", exc)
     with PhmapWriter(path) as w:
         w.save_u64(len(colors))
         for i, c in enumerate(colors):

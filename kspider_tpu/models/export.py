@@ -27,7 +27,13 @@ DISTANCE_TO_COL = {
 
 
 def get_newick(node, parent_dist, leaf_names, newick="") -> str:
-    """scipy hierarchy tree -> newick (reference ks_export.py:16-38)."""
+    """scipy hierarchy tree -> newick (reference ks_export.py:16-38).
+
+    Attribution: the recursive conversion is the public Stack Overflow
+    recipe https://stackoverflow.com/a/31878514 (CC BY-SA) — the same
+    snippet the reference credits; kept verbatim because byte-identical
+    newick output (including the ``%.2f`` rounding) is part of the
+    export contract."""
     if node.is_leaf():
         return "%s:%.2f%s" % (leaf_names[node.id], parent_dist - node.dist, newick)
     if len(newick) > 0:

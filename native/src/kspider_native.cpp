@@ -541,8 +541,8 @@ int ks_write_pairwise_tsv(const char* path, const int64_t* s, int32_t n,
         for (int32_t b = a + 1; b < n; b++) {
             int64_t shared = row[b];
             if (shared <= 0) continue;
-            float c12 = (float)shared / (float)(uint32_t)kmer_counts[b];
-            float c21 = (float)shared / (float)(uint32_t)kmer_counts[a];
+            float c12 = (float)shared / (float)kmer_counts[b];
+            float c21 = (float)shared / (float)kmer_counts[a];
             float cmin = c12 < c21 ? c12 : c21;
             float cavg = (float)((c12 + c21) / 2.0);
             float cmax = c12 > c21 ? c12 : c21;
@@ -571,8 +571,8 @@ int ks_write_pairwise_coo(const char* path, const int64_t* gi,
     char buf[96];
     for (int64_t r = 0; r < n_rows; r++) {
         int64_t a = gi[r], b = gj[r], sh = shared[r];
-        float c12 = (float)sh / (float)(uint32_t)kmer_counts[b];
-        float c21 = (float)sh / (float)(uint32_t)kmer_counts[a];
+        float c12 = (float)sh / (float)kmer_counts[b];
+        float c21 = (float)sh / (float)kmer_counts[a];
         float cmin = c12 < c21 ? c12 : c21;
         float cavg = (float)((c12 + c21) / 2.0);
         float cmax = c12 > c21 ? c12 : c21;

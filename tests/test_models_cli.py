@@ -20,6 +20,46 @@ def test_containment_to_ani():
     assert np.isclose(ani.containment_to_ani(c, 21), c ** (1 / 21))
 
 
+def test_containment_to_distance_sourmash_vectors():
+    """Vectors from sourmash's own tests/test_distance_utils.py —
+    external pins of the containment_to_distance model we replicate."""
+    res = ani.containment_to_distance(0.1, 31, 100, n_unique_kmers=10000)
+    assert res.dist == pytest.approx(0.07158545548052564, rel=0, abs=1e-15)
+    assert res.p_nothing_in_common == pytest.approx(
+        4.3171247410658655e-05, rel=1e-12
+    )
+    assert not res.p_exceeds_threshold
+    assert res.ani == pytest.approx(1 - 0.07158545548052564)
+    # containment == 0 -> dist 1, p_nothing_in_common 1 (unreliable)
+    res0 = ani.containment_to_distance(0.0, 21, 1000, n_unique_kmers=10000)
+    assert res0.dist == 1.0 and res0.p_nothing_in_common == 1.0
+    assert res0.p_exceeds_threshold
+    # containment == 1 -> dist 0, p 0 (shortcut edge)
+    res1 = ani.containment_to_distance(1.0, 21, 1000, n_unique_kmers=10000)
+    assert res1.dist == 0.0 and res1.p_nothing_in_common == 0.0
+    # scaled == 1 -> keeping everything; p is exactly 0 via the log(0) path
+    ress = ani.containment_to_distance(0.5, 21, 1, n_unique_kmers=10000)
+    assert ress.p_nothing_in_common == 0.0
+
+
+def test_ani_column_uses_kmer_budgets(tmp_path):
+    """write_ani_column reads the seqToKmersNo budgets and flags
+    unreliable pairs; avg_ani values stay the k-th-root identity."""
+    prefix = str(tmp_path / "idx")
+    with open(prefix + "_kSpider_pairwise.tsv", "w") as f:
+        f.write("h\n1\t2\t100\t0.5\t0.6\t0.7\n")
+    with open(prefix + "_kSpider_seqToKmersNo.tsv", "w") as f:
+        f.write("h\tid\tkmers\n0\t1\t200\n0\t2\t143\n")
+    out = ani.write_ani_column(prefix, 21, 1000)
+    with open(out) as f:
+        lines = f.read().splitlines()
+    expect = (0.5 ** (1 / 21) + 0.7 ** (1 / 21)) / 2
+    assert float(lines[1]) == pytest.approx(expect, rel=0, abs=1e-15)
+    # tiny budgets at huge scale -> p_exceeds_threshold fires
+    r = ani.containment_to_distance(0.5, 21, 10**9, n_unique_kmers=5)
+    assert r.p_exceeds_threshold
+
+
 def test_ani_column_file(tmp_path):
     prefix = str(tmp_path / "idx")
     with open(prefix + "_kSpider_pairwise.tsv", "w") as f:

@@ -108,3 +108,49 @@ def test_color_to_sources_cross_impl(tmp_path, rng):
     first_set = r.load_flat_table(np.dtype("<u4"))
     assert set(first_set.tolist()) == {1, 5}
     r.close()
+
+
+def test_fallback_warns_once_when_native_call_fails(tmp_path, monkeypatch):
+    """A broken native library must degrade VISIBLY: one RuntimeWarning
+    per entry point, correct pure-Python output."""
+    import warnings
+
+    native._warned_fallbacks.clear()
+    monkeypatch.setattr(
+        native, "sketch_file",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("boom")),
+    )
+    from kspider_tpu.core import sketch as sketch_core
+
+    fa = tmp_path / "x.fa"
+    fa.write_text(">r1\n" + "ACGT" * 30 + "\n")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = sketch_core.sketch_single_end(str(fa), 21)
+        res2 = sketch_core.sketch_single_end(str(fa), 21)
+    msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)
+            and "sketch_file" in str(w.message)]
+    assert len(msgs) == 1  # warn-once
+    assert len(res.hashes) > 0 and np.array_equal(res.hashes, res2.hashes)
+
+
+def test_force_mode_raises_on_native_failure(tmp_path, monkeypatch):
+    monkeypatch.setenv("KSPIDER_NATIVE", "force")
+    monkeypatch.setattr(
+        native, "sketch_file",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("boom")),
+    )
+    from kspider_tpu.core import sketch as sketch_core
+
+    fa = tmp_path / "x.fa"
+    fa.write_text(">r1\n" + "ACGT" * 30 + "\n")
+    with pytest.raises(native.NativeRequiredError):
+        sketch_core.sketch_single_end(str(fa), 21)
+
+
+def test_off_mode_disables_native(monkeypatch):
+    monkeypatch.setenv("KSPIDER_NATIVE", "off")
+    assert not native.enabled()
+    assert not native.available()
+    monkeypatch.setenv("KSPIDER_NATIVE", "auto")
+    assert native.enabled()

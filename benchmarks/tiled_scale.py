@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--min-shared", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--validate", type=int, default=512)
+    ap.add_argument("--cutoffs", type=str, default="",
+                    help="comma-separated cluster cutoffs (0..1) to run "
+                         "after pairwise, closing the pipeline loop")
+    ap.add_argument("--newick", action="store_true",
+                    help="also build the newick tree during export")
     args = ap.parse_args()
 
     import jax
@@ -126,6 +131,33 @@ def main():
     print(f"samples={args.samples} tsv_rows={n_rows} tsv_bytes={size}")
     print(f"pair_updates={pair_updates} "
           f"throughput={pair_updates / t_stream / 1e9:.2f}G/s")
+
+    if args.cutoffs:
+        # close the pipeline loop at scale: cluster + export on the
+        # streamed TSV (VERDICT r1: 100K evidence must not stop at
+        # pairwise).  Needs namesMap + seqToKmersNo alongside the TSV.
+        from kspider_tpu.core import cluster as cluster_core
+        from kspider_tpu.models import export as export_model
+
+        with open(prefix + ".namesMap", "w") as f:
+            f.write(f"{len(names)}\n")
+            for i, name in enumerate(names, start=1):
+                f.write(f"{i} {name}\n")
+        core_pairwise.write_seq_to_kmers_tsv(prefix, index)
+        for cutoff in (float(c) for c in args.cutoffs.split(",")):
+            t0 = time.perf_counter()
+            out = cluster_core.cluster_index(
+                prefix, cutoff, use_tpu=not args.cpu
+            )
+            n_clusters = sum(1 for _ in open(out))
+            print(f"cluster c={cutoff}: {time.perf_counter() - t0:8.3f}s  "
+                  f"clusters={n_clusters}", flush=True)
+        t0 = time.perf_counter()
+        export_model.export_pairwise(prefix, newick=args.newick)
+        print(f"export:           {time.perf_counter() - t0:8.3f}s  "
+              f"(distmat {args.samples}x{args.samples}"
+              f"{' + newick' if args.newick else ''})", flush=True)
+
     print("OK")
 
 

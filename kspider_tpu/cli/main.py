@@ -301,15 +301,16 @@ def cluster(ctx, index_prefix, cutoff, distance_type, force_cpu):
 @click.option("--newick", "newick", is_flag=True, help="Convert pairwise (containment) matrix to newick format", default=False)
 @click.option("-d", "--dist-type", "distance_type", required=False, default="max_cont", show_default=True, type=click.STRING, help="select from ['min_cont', 'avg_cont', 'max_cont', 'ani']")
 @click.option("-o", "overwritten_output", default="na", required=False, type=click.STRING, help="custom output file name prefix")
+@click.option("--no-distmat", "no_distmat", is_flag=True, default=False, help="skip the NxN distance matrix (O(N^2); use for very large N)")
 @click.pass_context
-def export(ctx, index_prefix, newick, distance_type, overwritten_output):
+def export(ctx, index_prefix, newick, distance_type, overwritten_output, no_distmat):
     """Export kSpider pairwise to multiple formats."""
     from kspider_tpu.models import export as export_model
 
     out = None if overwritten_output == "na" else overwritten_output
     export_model.export_pairwise(
         index_prefix, distance_type=distance_type, newick=newick,
-        output_prefix=out, logger=ctx.obj,
+        output_prefix=out, logger=ctx.obj, distmat=not no_distmat,
     )
 
 

@@ -34,38 +34,87 @@ DISTANCE_TO_COL = {
 }
 
 
-def load_pairwise_edges(
-    prefix: str, dist_type: str, cutoff_percent: float
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Stream the pairwise TSV and return the thresholded edge list
-    (0-based node ids)."""
+#: rows parsed per chunk; the reference batches graph edges 10M at a time
+#: (/root/reference/pykSpider/kSpider2/ks_clustering.py:26) — we bound the
+#: *parse* at the same scale so a low --min-shared 100K-sample run
+#: (10^8-10^9 TSV rows) streams in constant memory.
+EDGE_CHUNK_ROWS = 10_000_000
+
+
+def iter_pairwise_edge_chunks(
+    prefix: str,
+    dist_type: str,
+    cutoff_percent: float,
+    chunk_rows: int = EDGE_CHUNK_ROWS,
+):
+    """Yield thresholded ``(src, dst)`` int32 edge-array chunks (0-based
+    node ids) from the pairwise TSV, parsed vectorized ``chunk_rows`` rows
+    at a time (pandas C engine) so memory stays bounded regardless of TSV
+    size.  Float semantics match the reference's per-line ``float()``
+    (both are strtod)."""
+    import pandas as pd
+
     pairwise_file = prefix + "_kSpider_pairwise.tsv"
-    srcs: List[int] = []
-    dsts: List[int] = []
     if dist_type == "ani":
+        # the ani column file is row-aligned with the pairwise TSV
+        # (/root/reference/pykSpider/kSpider2/ks_clustering.py:70-117)
         ani_file = prefix + "_kSpider_pairwise.ani_col.tsv"
-        with open(pairwise_file) as pw, open(ani_file) as ani:
-            next(pw)
-            next(ani)
-            for row in pw:
-                parts = row.rstrip("\n").split("\t")
-                distance = float(next(ani).strip()) * 100.0
-                if distance < cutoff_percent:
-                    continue
-                srcs.append(int(parts[0]) - 1)
-                dsts.append(int(parts[1]) - 1)
-    else:
-        col = DISTANCE_TO_COL[dist_type]
-        with open(pairwise_file) as pw:
-            next(pw)
-            for row in pw:
-                parts = row.rstrip("\n").split("\t")
-                distance = float(parts[col]) * 100.0
-                if distance < cutoff_percent:
-                    continue
-                srcs.append(int(parts[0]) - 1)
-                dsts.append(int(parts[1]) - 1)
-    return np.asarray(srcs, dtype=np.int32), np.asarray(dsts, dtype=np.int32)
+        pw_iter = pd.read_csv(
+            pairwise_file, sep="\t", header=0, usecols=[0, 1],
+            names=["s1", "s2", "sh", "mn", "av", "mx"],
+            dtype={"s1": np.int64, "s2": np.int64},
+            chunksize=chunk_rows, engine="c",
+        )
+        ani_iter = pd.read_csv(
+            ani_file, sep="\t", header=0, names=["d"],
+            dtype={"d": np.float64}, chunksize=chunk_rows, engine="c",
+        )
+        for pw_chunk, ani_chunk in zip(pw_iter, ani_iter):
+            dist = ani_chunk["d"].to_numpy()
+            keep = dist * 100.0 >= cutoff_percent
+            yield (
+                (pw_chunk["s1"].to_numpy()[keep] - 1).astype(np.int32),
+                (pw_chunk["s2"].to_numpy()[keep] - 1).astype(np.int32),
+            )
+        return
+
+    col = DISTANCE_TO_COL[dist_type]
+    names = ["s1", "s2", "sh", "mn", "av", "mx"]
+    for chunk in pd.read_csv(
+        pairwise_file, sep="\t", header=0, usecols=[0, 1, col],
+        names=names,
+        dtype={"s1": np.int64, "s2": np.int64, names[col]: np.float64},
+        chunksize=chunk_rows, engine="c",
+    ):
+        dist = chunk[names[col]].to_numpy()
+        keep = dist * 100.0 >= cutoff_percent
+        yield (
+            (chunk["s1"].to_numpy()[keep] - 1).astype(np.int32),
+            (chunk["s2"].to_numpy()[keep] - 1).astype(np.int32),
+        )
+
+
+def load_pairwise_edges(
+    prefix: str,
+    dist_type: str,
+    cutoff_percent: float,
+    chunk_rows: int = EDGE_CHUNK_ROWS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chunked-vectorized thresholded edge list (0-based node ids)."""
+    srcs: List[np.ndarray] = []
+    dsts: List[np.ndarray] = []
+    for s, d in iter_pairwise_edge_chunks(
+        prefix, dist_type, cutoff_percent, chunk_rows
+    ):
+        if len(s):
+            srcs.append(s)
+            dsts.append(d)
+    if not srcs:
+        return (
+            np.empty(0, dtype=np.int32),
+            np.empty(0, dtype=np.int32),
+        )
+    return np.concatenate(srcs), np.concatenate(dsts)
 
 
 def cluster_index(
@@ -74,6 +123,7 @@ def cluster_index(
     dist_type: str = "max_cont",
     use_tpu: bool = True,
     logger: Optional[Logger] = None,
+    chunk_rows: int = EDGE_CHUNK_ROWS,
 ) -> str:
     """Run the full cluster stage; returns the output file path.
 
@@ -98,14 +148,28 @@ def cluster_index(
         raise FileNotFoundError("ani column file missing")
 
     log.INFO("Loading TSV pairwise file")
-    src, dst = load_pairwise_edges(prefix, dist_type, cutoff_percent)
+    cc_fn = (
+        cc_ops.connected_components
+        if use_tpu
+        else cc_ops.connected_components_scipy
+    )
 
+    # Streamed union: fold each thresholded edge chunk into the running
+    # component labels.  The labels compress everything seen so far into
+    # at most n "star" edges (node -> component representative), so peak
+    # memory is O(n + chunk) however many TSV rows there are.
     log.INFO("Clustering...")
-    if use_tpu:
-        labels = cc_ops.connected_components(src, dst, n)
-    else:
-        labels = cc_ops.connected_components_scipy(src, dst, n)
-    comps = cc_ops.labels_to_clusters(labels)
+    labels = np.arange(max(n, 1), dtype=np.int32)
+    for src, dst in iter_pairwise_edge_chunks(
+        prefix, dist_type, cutoff_percent, chunk_rows
+    ):
+        if not len(src):
+            continue
+        star = np.nonzero(labels != np.arange(len(labels), dtype=np.int32))[0]
+        src_all = np.concatenate([src, star.astype(np.int32)])
+        dst_all = np.concatenate([dst, labels[star]])
+        labels = np.asarray(cc_fn(src_all, dst_all, n), dtype=np.int32)
+    comps = cc_ops.labels_to_clusters(labels[:n])
     log.INFO(f"number of clusters: {len(comps)}")
 
     out_path = prefix + f"_kSpider_clusters_{cutoff_percent}%.tsv"

@@ -9,8 +9,9 @@ Behavioral mirror of /root/reference/pykSpider/kSpider2/ks_export.py:
   (reference :16-38).
 """
 
+import csv
 import os
-from typing import Dict, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -45,18 +46,71 @@ def get_newick(node, parent_dist, leaf_names, newick="") -> str:
     return "(%s" % newick
 
 
+#: rows parsed per chunk when streaming the pairwise TSV (same scale as
+#: the reference's 10M-edge batches, ks_clustering.py:26)
+EXPORT_CHUNK_ROWS = 10_000_000
+
+
+def _iter_labeled_chunks(
+    pairwise_tsv: str, dist_col: int, ani_file: Optional[str],
+    chunk_rows: int,
+):
+    """Yield ``(ids1 i64, ids2 i64, dist f64)`` chunks from the pairwise
+    TSV (and the row-aligned ani column file for the ani metric)."""
+    names = ["s1", "s2", "sh", "mn", "av", "mx"]
+    if ani_file is not None:
+        pw_iter = pd.read_csv(
+            pairwise_tsv, sep="\t", header=0, usecols=[0, 1], names=names,
+            dtype={"s1": np.int64, "s2": np.int64},
+            chunksize=chunk_rows, engine="c",
+        )
+        ani_iter = pd.read_csv(
+            ani_file, sep="\t", header=0, names=["d"],
+            dtype={"d": np.float64}, chunksize=chunk_rows, engine="c",
+        )
+        for pw_chunk, ani_chunk in zip(pw_iter, ani_iter):
+            yield (
+                pw_chunk["s1"].to_numpy(),
+                pw_chunk["s2"].to_numpy(),
+                ani_chunk["d"].to_numpy(),
+            )
+        return
+    for chunk in pd.read_csv(
+        pairwise_tsv, sep="\t", header=0, usecols=[0, 1, dist_col],
+        names=names,
+        dtype={"s1": np.int64, "s2": np.int64, names[dist_col]: np.float64},
+        chunksize=chunk_rows, engine="c",
+    ):
+        yield (
+            chunk["s1"].to_numpy(),
+            chunk["s2"].to_numpy(),
+            chunk[names[dist_col]].to_numpy(),
+        )
+
+
 def export_pairwise(
     index_prefix: str,
     distance_type: str = "max_cont",
     newick: bool = False,
     output_prefix: Optional[str] = None,
     logger: Optional[Logger] = None,
+    distmat: bool = True,
+    chunk_rows: int = EXPORT_CHUNK_ROWS,
 ) -> Tuple[str, str, Optional[str]]:
+    """Labeled TSV (streamed/vectorized, any N) + NxN distance matrix and
+    optional newick (inherently O(N^2) — gate with ``distmat=False`` at
+    large N; the reference's pandas pivot has the same quadratic floor).
+    Output bytes are identical to the reference's per-line loop: pandas
+    ``to_csv`` float formatting is the same shortest-round-trip repr as
+    an f-string."""
     log = logger or Logger(quiet=True)
     if distance_type not in DISTANCE_TO_COL:
         log.ERROR("unknown distance!")
         raise ValueError("unknown distance")
     dist_col = DISTANCE_TO_COL[distance_type]
+    if newick and not distmat:
+        log.ERROR("--newick requires the distance matrix (remove --no-distmat)")
+        raise ValueError("newick requires distmat")
 
     index_basename = os.path.basename(index_prefix)
     pairwise_tsv = f"{index_prefix}_kSpider_pairwise.tsv"
@@ -78,7 +132,7 @@ def export_pairwise(
         distmat_out = f"kSpider_{index_basename}_distmat.tsv"
         newick_out = f"kSpider_{index_basename}.newick"
 
-    distances: Dict[Tuple[str, str], float] = {}
+    ani_file = None
     if distance_type == "ani":
         ani_file = index_prefix + "_kSpider_pairwise.ani_col.tsv"
         if not os.path.exists(ani_file):
@@ -87,39 +141,57 @@ def export_pairwise(
                 "Please run: kspider pairwise --estimate-ani -i <index_prefix>"
             )
             raise FileNotFoundError(ani_file)
-        with open(pairwise_tsv) as pw, open(labeled_out, "w") as new, open(
-            ani_file
-        ) as ani:
-            log.INFO(f"Writing pairwise matrix to {labeled_out}")
-            new.write(f"source1\tsource2\t{distance_type}\n")
-            next(pw)
-            next(ani)
-            for line in pw:
-                parts = line.rstrip("\n").split("\t")
-                grp1 = names_map[int(parts[0])]
-                grp2 = names_map[int(parts[1])]
-                dist_metric = float(next(ani).strip())
-                distances[(grp1, grp2)] = dist_metric
-                new.write(f"{grp1}\t{grp2}\t{dist_metric}\n")
-    else:
-        with open(pairwise_tsv) as pw, open(labeled_out, "w") as new:
-            log.INFO(f"Writing pairwise matrix to {labeled_out}")
-            new.write(f"grp1\tgrp2\t{distance_type}\n")
-            next(pw)
-            for line in pw:
-                parts = line.rstrip("\n").split("\t")
-                grp1 = names_map[int(parts[0])]
-                grp2 = names_map[int(parts[1])]
-                dist_metric = float(parts[dist_col])
-                distances[(grp1, grp2)] = dist_metric
-                new.write(f"{grp1}\t{grp2}\t{dist_metric}\n")
 
-    unique_ids = sorted({x for pair in distances for x in pair})
-    df = pd.DataFrame(index=unique_ids, columns=unique_ids, dtype=object)
-    for (a, b), v in distances.items():
-        df.loc[a, b] = 1 - v
-        df.loc[b, a] = 1 - v
-    df = df.fillna(0)
+    # group id -> name lookup array (ids are 1-based)
+    max_id = max(names_map) if names_map else 0
+    name_arr = np.empty(max_id + 1, dtype=object)
+    for gid, name in names_map.items():
+        name_arr[gid] = name
+
+    header = (
+        f"source1\tsource2\t{distance_type}\n"
+        if distance_type == "ani"
+        else f"grp1\tgrp2\t{distance_type}\n"
+    )
+    # pair chunks retained for the distmat pass (ids are small vs the TSV)
+    kept: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    log.INFO(f"Writing pairwise matrix to {labeled_out}")
+    with open(labeled_out, "w") as new:
+        new.write(header)
+        for ids1, ids2, dist in _iter_labeled_chunks(
+            pairwise_tsv, dist_col, ani_file, chunk_rows
+        ):
+            pd.DataFrame(
+                {"a": name_arr[ids1], "b": name_arr[ids2], "d": dist}
+            ).to_csv(
+                new, sep="\t", header=False, index=False,
+                quoting=csv.QUOTE_NONE,
+            )
+            if distmat:
+                kept.append((ids1, ids2, dist))
+
+    newick_path = None
+    if not distmat:
+        log.SUCCESS("Done.")
+        return labeled_out, "", newick_path
+
+    all1 = np.concatenate([c[0] for c in kept]) if kept else np.empty(0, np.int64)
+    all2 = np.concatenate([c[1] for c in kept]) if kept else np.empty(0, np.int64)
+    alld = np.concatenate([c[2] for c in kept]) if kept else np.empty(0, np.float64)
+    seen_ids = np.unique(np.concatenate([all1, all2]))
+    unique_ids = sorted(name_arr[seen_ids].tolist())
+    pos = {name: i for i, name in enumerate(unique_ids)}
+    m = len(unique_ids)
+    # object matrix: int 0 fill (reference fillna(0) writes "0", not "0.0"),
+    # float 1-dist entries — byte-compatible with the reference's pivot
+    mat = np.zeros((m, m), dtype=object)
+    if m:
+        i_idx = np.array([pos[n] for n in name_arr[all1]], dtype=np.int64)
+        j_idx = np.array([pos[n] for n in name_arr[all2]], dtype=np.int64)
+        vals = 1.0 - alld
+        mat[i_idx, j_idx] = vals
+        mat[j_idx, i_idx] = vals
+    df = pd.DataFrame(mat, index=unique_ids, columns=unique_ids)
     log.INFO(f"Writing distance matrix to {distmat_out}")
     df.to_csv(distmat_out, sep="\t")
 

@@ -240,14 +240,31 @@ def _validate_names(log, names_file):
 @click.option("--engine", "engine", default="auto", show_default=True, type=click.Choice(["auto", "bitmask", "pallas", "scatter", "tiled"]), help="TPU co-occurrence engine variant (tiled = panel-streamed, any N)")
 @click.option("--panel", "panel", default=4096, show_default=True, type=int, help="sample-panel width for the tiled engine")
 @click.option("--min-shared", "min_shared", default=1, show_default=True, type=int, help="emit only pairs with at least this many shared k-mers (tiled engine)")
+@click.option("--coordinator", "coordinator", default=None, type=click.STRING, help="jax.distributed coordinator address (host:port) for multi-process runs; or env KSPIDER_COORDINATOR")
+@click.option("--num-processes", "num_processes", default=None, type=int, help="total coordinated processes (multi-host); or env KSPIDER_NUM_PROCESSES")
+@click.option("--process-id", "process_id", default=None, type=int, help="this process's id in [0, num-processes); or env KSPIDER_PROCESS_ID")
 @click.pass_context
-def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine, panel, min_shared):
+def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine, panel, min_shared, coordinator, num_processes, process_id):
     """Generate containment pairwise matrix."""
     from kspider_tpu.core import pairwise as core_pairwise
     from kspider_tpu.models import ani as ani_model
+    from kspider_tpu.parallel import multiprocess as mp
 
     log = ctx.obj
+    _, n_procs, _ = mp.resolve_flags(coordinator, num_processes, process_id)
     if not ani:
+        if n_procs > 1:
+            log.INFO(
+                f"Constructing the containment pairwise matrix across "
+                f"{n_procs} coordinated processes."
+            )
+            mp.run_distributed_pairwise(
+                index_prefix, use_tpu=not force_cpu,
+                coordinator=coordinator, num_processes=num_processes,
+                process_id=process_id,
+            )
+            log.SUCCESS("Done.")
+            return
         log.INFO("Constructing the containment pairwise matrix.")
         if sourmash_scale:
             log.WARNING("No need to provide -s/--scale when running this command.")

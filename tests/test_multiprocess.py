@@ -1,0 +1,164 @@
+"""Real multi-process jax.distributed pairwise execution.
+
+Spawns actual coordinator+worker OS processes (gloo CPU collectives),
+runs both distributed partitionings end-to-end, and byte-compares the
+TSVs process 0 writes against the single-process outputs.  This is the
+executed proof behind parallel/multiprocess.py — the multi-host
+replacement for the reference's OpenMP color loop
+(/root/reference/src/pairwise.cpp:199-237).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from kspider_tpu.core import pairwise as core_pairwise
+from kspider_tpu.core.index import build_index_from_hash_sets
+from kspider_tpu.io import artifacts as artifacts_io
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from kspider_tpu.parallel import multiprocess as mp
+
+    mode, pid, nproc, port, prefix = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5],
+    )
+    coord = f"localhost:{{port}}"
+    if mode == "hashrange":
+        rng = np.random.default_rng(123)
+        names = [f"s{{i}}" for i in range(9)]
+        arrays = [
+            np.unique(rng.integers(0, 2**64, size=3000, dtype=np.uint64))
+            for _ in names
+        ]
+        mp.distributed_pairwise_from_hash_sets(
+            names, arrays, prefix, ksize=21,
+            coordinator=coord, num_processes=nproc, process_id=pid,
+        )
+    else:
+        mp.run_distributed_pairwise(
+            prefix, use_tpu=False, coordinator=coord,
+            num_processes=nproc, process_id=pid, echo_timers=False,
+        )
+    print("WORKER_OK", pid)
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _dataset():
+    rng = np.random.default_rng(123)
+    names = [f"s{i}" for i in range(9)]
+    arrays = [
+        np.unique(rng.integers(0, 2**64, size=3000, dtype=np.uint64))
+        for _ in names
+    ]
+    return names, arrays
+
+
+def _spawn_workers(tmp_path, mode: str, prefix: str, nproc: int = 2):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo=REPO))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["KSPIDER_NATIVE"] = "off"  # exercise the pure paths deterministically
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), mode, str(pid), str(nproc),
+             str(port), prefix],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=str(tmp_path),
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER_OK {pid}" in out
+    return outs
+
+
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_hashrange_two_process_matches_single(tmp_path, nproc):
+    """Hash-range-partitioned ingest+pairwise across real coordinated
+    processes == single-process TSV, byte for byte."""
+    names, arrays = _dataset()
+    golden_prefix = str(tmp_path / "golden")
+    index = build_index_from_hash_sets(names, arrays, ksize=21,
+                                       params="kSize:21")
+    shared = core_pairwise.compute_shared_matrix(index, use_tpu=False)
+    core_pairwise.write_seq_to_kmers_tsv(golden_prefix, index)
+    core_pairwise.write_pairwise_tsv(golden_prefix, index, shared)
+
+    dist_prefix = str(tmp_path / "dist")
+    _spawn_workers(tmp_path, "hashrange", dist_prefix, nproc=nproc)
+
+    for suffix in ("_kSpider_pairwise.tsv", "_kSpider_seqToKmersNo.tsv"):
+        golden = open(golden_prefix + suffix, "rb").read()
+        got = open(dist_prefix + suffix, "rb").read()
+        assert got == golden, suffix
+
+
+def test_colorslice_two_process_matches_single(tmp_path):
+    """CLI-path partitioning (contiguous color blocks over shared
+    artifacts) across 2 real processes == single-process TSV."""
+    names, arrays = _dataset()
+    golden_prefix = str(tmp_path / "golden")
+    index = build_index_from_hash_sets(names, arrays, ksize=21,
+                                       params="kSize:21")
+    shared = core_pairwise.compute_shared_matrix(index, use_tpu=False)
+    core_pairwise.write_seq_to_kmers_tsv(golden_prefix, index)
+    core_pairwise.write_pairwise_tsv(golden_prefix, index, shared)
+
+    dist_prefix = str(tmp_path / "dist")
+    artifacts_io.write_index_artifacts(dist_prefix, index)
+    _spawn_workers(tmp_path, "colorslice", dist_prefix, nproc=2)
+
+    golden = open(golden_prefix + "_kSpider_pairwise.tsv", "rb").read()
+    got = open(dist_prefix + "_kSpider_pairwise.tsv", "rb").read()
+    assert got == golden
+
+
+def test_color_slice_covers_range():
+    from kspider_tpu.parallel import multiprocess as mp
+
+    for n_colors, nproc in [(10, 3), (7, 7), (5, 8), (0, 2), (100, 1)]:
+        slices = [mp.color_slice(n_colors, p, nproc) for p in range(nproc)]
+        assert slices[0][0] == 0
+        assert slices[-1][1] == n_colors
+        for (a, b), (c, d) in zip(slices, slices[1:]):
+            assert b == c
+        assert all(hi >= lo for lo, hi in slices)
+
+
+def test_resolve_flags_env_fallback(monkeypatch):
+    from kspider_tpu.parallel import multiprocess as mp
+
+    monkeypatch.setenv(mp.ENV_COORDINATOR, "host:1234")
+    monkeypatch.setenv(mp.ENV_NUM_PROCESSES, "4")
+    monkeypatch.setenv(mp.ENV_PROCESS_ID, "2")
+    assert mp.resolve_flags() == ("host:1234", 4, 2)
+    # explicit flags win
+    assert mp.resolve_flags("h:1", 2, 0) == ("h:1", 2, 0)

@@ -152,11 +152,19 @@ def main():
             n_clusters = sum(1 for _ in open(out))
             print(f"cluster c={cutoff}: {time.perf_counter() - t0:8.3f}s  "
                   f"clusters={n_clusters}", flush=True)
+        # the NxN distmat (and newick) are O(N^2) text by definition —
+        # only produce them at N where that is sane
+        with_distmat = args.samples <= 16384
         t0 = time.perf_counter()
-        export_model.export_pairwise(prefix, newick=args.newick)
+        export_model.export_pairwise(
+            prefix, newick=args.newick and with_distmat,
+            distmat=with_distmat,
+        )
         print(f"export:           {time.perf_counter() - t0:8.3f}s  "
-              f"(distmat {args.samples}x{args.samples}"
-              f"{' + newick' if args.newick else ''})", flush=True)
+              f"(labeled TSV"
+              f"{f' + distmat {args.samples}x{args.samples}' if with_distmat else ''}"
+              f"{' + newick' if args.newick and with_distmat else ''})",
+              flush=True)
 
     print("OK")
 

@@ -296,12 +296,28 @@ def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, en
 @click.option("-i", "--index-prefix", "index_prefix", required=True, type=click.STRING, help="Index file prefix")
 @click.option("-d", "--dist-type", "distance_type", required=False, default="max_cont", show_default=True, type=click.STRING, help="select from ['min_cont', 'avg_cont', 'max_cont', 'ani']")
 @click.option("--cpu", "force_cpu", is_flag=True, default=False, help="use scipy connected-components instead of the TPU kernel")
+@click.option("--from-index", "from_index", is_flag=True, default=False, help="cluster straight from the index via the panel-streamed engine (no pairwise TSV round-trip; min/avg/max metrics only)")
+@click.option("--panel", "panel", default=4096, show_default=True, type=int, help="sample-panel width (--from-index mode)")
+@click.option("--min-shared", "min_shared", default=1, show_default=True, type=int, help="ignore pairs below this many shared k-mers (--from-index mode)")
 @click.pass_context
-def cluster(ctx, index_prefix, cutoff, distance_type, force_cpu):
+def cluster(ctx, index_prefix, cutoff, distance_type, force_cpu, from_index, panel, min_shared):
     """Sequence clustering."""
     from kspider_tpu.core import cluster as core_cluster
 
     log = ctx.obj
+    if from_index:
+        from kspider_tpu.io import artifacts, npz_index
+
+        index = npz_index.load(index_prefix)
+        if index is None:
+            index = artifacts.load_index_artifacts(index_prefix)
+        out = core_cluster.cluster_from_index(
+            index, index_prefix, cutoff, dist_type=distance_type,
+            use_tpu=not force_cpu, panel=panel, min_shared=min_shared,
+            logger=log,
+        )
+        log.SUCCESS(f"Clusters written to {out}")
+        return
     log.INFO("Building the main graph...")
     out = core_cluster.cluster_index(
         index_prefix, cutoff, dist_type=distance_type, use_tpu=not force_cpu, logger=log

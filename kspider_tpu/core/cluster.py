@@ -117,6 +117,98 @@ def load_pairwise_edges(
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
+def cluster_from_index(
+    index,
+    prefix: str,
+    cutoff: float,
+    dist_type: str = "max_cont",
+    use_tpu: bool = True,
+    panel: int = 4096,
+    block: int = 1024,
+    min_shared: int = 1,
+    logger: Optional[Logger] = None,
+    mesh=None,
+    edge_batch: int = EDGE_CHUNK_ROWS,
+) -> str:
+    """TSV-free clustering: consume the panel-streamed engine's sparse
+    COO stream directly (opt-in fast path, ``kspider cluster
+    --from-index``).
+
+    Containments are computed on the sparsified device output and the
+    cutoff applied to the full-precision float32 value — the TSV
+    round-trip (write %g with 6 significant digits, re-parse, threshold)
+    is skipped entirely, so pairs sitting exactly on a %g rounding
+    boundary may classify differently from the file-based path.  ``ani``
+    needs the ani column file and is not available here.
+    """
+    from kspider_tpu.core import pairwise as core_pw
+    from kspider_tpu.ops import tiled_pairwise as tp
+
+    log = logger or Logger(quiet=True)
+    if dist_type == "ani":
+        log.ERROR("--from-index clustering does not support the ani metric")
+        raise ValueError("ani unsupported in from-index mode")
+    if dist_type not in DISTANCE_TO_COL:
+        log.ERROR("unknown distance!")
+        raise ValueError("unknown distance")
+
+    cutoff_percent = float(cutoff) * 100.0
+    n = index.num_groups
+    counts = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
+    cc_fn = (
+        cc_ops.connected_components
+        if use_tpu
+        else cc_ops.connected_components_scipy
+    )
+
+    plan = tp.build_panel_plan(
+        index.color_offsets, index.color_members, index.color_counts,
+        n, panel,
+    )
+    labels = np.arange(max(n, 1), dtype=np.int32)
+    buf_src: List[np.ndarray] = []
+    buf_dst: List[np.ndarray] = []
+    pending = 0
+
+    def fold():
+        nonlocal labels, pending
+        if not buf_src:
+            return
+        star = np.nonzero(labels != np.arange(len(labels), dtype=np.int32))[0]
+        src_all = np.concatenate(buf_src + [star.astype(np.int32)])
+        dst_all = np.concatenate(buf_dst + [labels[star]])
+        labels = np.asarray(cc_fn(src_all, dst_all, n), dtype=np.int32)
+        buf_src.clear()
+        buf_dst.clear()
+        pending = 0
+
+    log.INFO("Clustering from the panel-streamed engine (no TSV)...")
+    for _, _, gi, gj, vals in tp.iter_panel_pairs(
+        plan, engine="auto" if use_tpu else "xla", block=block,
+        min_shared=min_shared, mesh=mesh,
+    ):
+        cmin, cavg, cmax = core_pw.containment_columns(
+            np.asarray(vals, dtype=np.int64), counts[gi], counts[gj]
+        )
+        d = {3: cmin, 4: cavg, 5: cmax}[DISTANCE_TO_COL[dist_type]]
+        keep = d.astype(np.float64) * 100.0 >= cutoff_percent
+        if keep.any():
+            buf_src.append(np.asarray(gi)[keep].astype(np.int32))
+            buf_dst.append(np.asarray(gj)[keep].astype(np.int32))
+            pending += int(keep.sum())
+            if pending >= edge_batch:
+                fold()
+    fold()
+
+    comps = cc_ops.labels_to_clusters(labels[:n])
+    log.INFO(f"number of clusters: {len(comps)}")
+    out_path = prefix + f"_kSpider_clusters_{cutoff_percent}%.tsv"
+    with open(out_path, "w") as f:
+        for comp in comps:
+            f.write(",".join(index.names[int(node)] for node in comp) + "\n")
+    return out_path
+
+
 def cluster_index(
     prefix: str,
     cutoff: float,

@@ -124,10 +124,18 @@ def index_kf_dir(
     prefixes = []
     for p in entries:
         if p.endswith(".mqf"):
+            # Proven-unrecoverable (see PARITY.md "Known gaps"): the CQF
+            # layout is defined by the absent kProcessor->MQF submodule
+            # chain, the snapshot ships no sample .mqf to verify a
+            # reconstruction against, and the reference's own
+            # .mqf-as-target line is commented out upstream
+            # (/root/reference/src/index.cpp:125-126).
             raise ValueError(
                 f"{p}: .mqf (counting-quotient-filter) sketches are not "
-                "supported — the CQF serialization is MQF-internal; "
-                "re-sketch with `kspider sketch`"
+                "supported — the CQF serialization is internal to the "
+                "kProcessor/MQF submodules, which are absent from the "
+                "reference snapshot; re-sketch with `kspider sketch` "
+                "(.sig/.bin) or use .phmap sketches"
             )
         if p.endswith(".phmap"):
             prefixes.append(p[: -len(".phmap")])

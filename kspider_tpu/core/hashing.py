@@ -271,9 +271,14 @@ def kmer_hashes_murmur_int(
     """MurmurHash64A over the 8-byte little-endian 2-bit k-mer code.
 
     This mirrors the reference's ``mumur_hasher`` applied to the integer
-    k-mer representation (/root/reference/src/fastx_to_kf.cpp:24); the
-    kProcessor seed could not be verified (submodule absent), so the seed
-    is a parameter.
+    k-mer representation (/root/reference/src/fastx_to_kf.cpp:24) — the
+    MQF/squeakr-lineage convention kmerDecoder descends from.  The exact
+    kProcessor seed is **documented unverifiable** (PARITY.md "Known
+    gaps"): the hasher lives in the absent kmerDecoder submodule and the
+    snapshot ships no kProcessor-produced sketch to pin it against, so
+    the seed stays a parameter.  The gap is contained: stored hashes in
+    ``.phmap``/``.bin``/``.sig`` artifacts are never recomputed, so all
+    cross-implementation artifact flows are seed-independent.
     """
     if canonical:
         _, codes = canonical_kmers(sequence, ksize)

@@ -76,3 +76,38 @@ def test_streamed_cluster_chunks_match_single_pass(tmp_path, rng):
     # and the device pointer-jumping path agrees with scipy
     out_dev = cluster_core.cluster_index(prefix, 0.5, use_tpu=True, chunk_rows=13)
     assert open(out_dev).read() == small
+
+
+def test_cluster_from_index_matches_tsv_path(tmp_path, rng):
+    """The TSV-free fused path (panel stream -> threshold -> CC) produces
+    the same clusters as pairwise TSV -> cluster_index."""
+    from kspider_tpu.core import cluster as cluster_core
+    from kspider_tpu.core import pairwise as core_pairwise
+    from kspider_tpu.core.index import build_index_from_hash_sets
+    from kspider_tpu.io import artifacts as artifacts_io
+
+    n = 24
+    pool = np.unique(rng.integers(0, 2**63, size=30000, dtype=np.uint64))
+    fams = [pool[i * 8000 : (i + 1) * 8000] for i in range(3)]
+    arrays = []
+    for i in range(n):
+        fam = fams[i % 3]
+        arrays.append(np.unique(np.concatenate([
+            fam[rng.random(len(fam)) < 0.5],
+            pool[24000 + i * 200 : 24000 + (i + 1) * 200],
+        ])))
+    names = [f"s{i}" for i in range(n)]
+    index = build_index_from_hash_sets(names, arrays, ksize=21)
+    prefix = str(tmp_path / "idx")
+    artifacts_io.write_index_artifacts(prefix, index)
+    shared = core_pairwise.compute_shared_matrix(index, use_tpu=False)
+    core_pairwise.write_seq_to_kmers_tsv(prefix, index)
+    core_pairwise.write_pairwise_tsv(prefix, index, shared)
+
+    for cutoff in (0.2, 0.5):
+        out_tsv = cluster_core.cluster_index(prefix, cutoff, use_tpu=False)
+        via_tsv = open(out_tsv).read()
+        out_fused = cluster_core.cluster_from_index(
+            index, prefix, cutoff, use_tpu=False, panel=16, block=64
+        )
+        assert open(out_fused).read() == via_tsv, cutoff

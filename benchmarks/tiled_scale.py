@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--min-shared", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--validate", type=int, default=512)
+    ap.add_argument("--cache", action="store_true", dest="use_cache",
+                    help="enable the device-resident packed-side LRU "
+                         "(helps when colors span many panels)")
+    ap.add_argument("--no-cache", action="store_true", dest="no_cache",
+                    help=argparse.SUPPRESS)  # kept for A/B scripts
     ap.add_argument("--cutoffs", type=str, default="",
                     help="comma-separated cluster cutoffs (0..1) to run "
                          "after pairwise, closing the pipeline loop")
@@ -95,6 +100,7 @@ def main():
         index, prefix, panel=args.panel,
         engine="xla" if args.cpu else "auto",
         min_shared=args.min_shared, echo_progress=True,
+        cache_bytes=(2 << 30) if (args.use_cache and not args.no_cache) else 0,
     )
     t_stream = time.perf_counter() - t0
     print(f"tiled pairwise:   {t_stream:8.3f}s  rows={n_rows} "

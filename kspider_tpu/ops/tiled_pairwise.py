@@ -305,6 +305,60 @@ def _pad_limbs(wl: np.ndarray, n_blocks: int, block: int, transpose: bool):
     return out
 
 
+class _DeviceSideCache:
+    """Device-resident LRU for packed panel sides.
+
+    A panel side's bitmask depends only on (panel, selected segments,
+    padding geometry) — and across panel pairs the selection repeats
+    heavily (any color spanning many panels contributes the *same*
+    packed side to every pair of its row/column).  Re-sending it per
+    pair makes H2D the bottleneck of the streamed engine (measured: the
+    102K run spent ~80% of wall on pack+transfer).  Caching the
+    device arrays turns those repeats into HBM hits.  Budget-bounded,
+    LRU-evicted; a zero budget disables caching.
+    """
+
+    def __init__(self, budget_bytes: int):
+        from collections import OrderedDict
+
+        self.budget = budget_bytes
+        self.entries = OrderedDict()
+        self.nbytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        arr = self.entries.get(key)
+        if arr is not None:
+            self.entries.move_to_end(key)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return arr
+
+    def put(self, key, arr, nbytes: int):
+        if self.budget <= 0 or nbytes > self.budget:
+            return
+        while self.nbytes + nbytes > self.budget and self.entries:
+            _, (old, old_bytes) = self.entries.popitem(last=False)
+            del old
+            self.nbytes -= old_bytes
+        self.entries[key] = (arr, nbytes)
+        self.nbytes += nbytes
+
+    def lookup(self, key):
+        ent = self.get(key)
+        return ent[0] if ent is not None else None
+
+
+def _segs_digest(segs: np.ndarray) -> bytes:
+    import hashlib
+
+    return hashlib.blake2b(
+        np.ascontiguousarray(segs).tobytes(), digest_size=16
+    ).digest()
+
+
 def iter_panel_pairs(
     plan: PanelPlan,
     engine: str = "auto",
@@ -314,12 +368,19 @@ def iter_panel_pairs(
     cap0: int = 1 << 18,
     interpret: Optional[bool] = None,
     mesh=None,
+    cache_bytes: int = 0,
+    stats: Optional[dict] = None,
 ) -> Iterator[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (pi, pj, gi, gj, shared) for every panel pair with work.
 
     ``gi``/``gj`` are global 0-based sample ids with gi < gj; ``shared``
     the exact shared-k-mer counts >= min_shared.  Passing ``mesh`` shards
     each pair's color blocks over the mesh (engine "sharded").
+    ``cache_bytes`` bounds the device-resident packed-side LRU (default
+    off — enable for workloads whose colors span many panels, where
+    off-diagonal panel pairs re-select the same sides; on
+    diagonal-dominated workloads it only occupies HBM); pass a dict as
+    ``stats`` to receive hit/miss/resident-byte counters.
     """
     if mesh is None and engine == "auto" and len(jax.devices()) > 1:
         # all-device data parallelism over each pair's color blocks, same
@@ -347,8 +408,64 @@ def iter_panel_pairs(
     panel_pad = max(tile, _cdiv(plan.panel, tile) * tile)
     sup = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
 
+    cache = _DeviceSideCache(cache_bytes)
+
+    def _put_device(host_arr):
+        """Move a packed host array to the device(s) eagerly so cache hits
+        skip both the pack and the H2D transfer."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from kspider_tpu.parallel.mesh import SHARD_AXIS
+
+            return jax.device_put(
+                host_arr, NamedSharding(mesh, P(SHARD_AXIS, None, None))
+            )
+        return jax.device_put(host_arr)
+
+    def _side(panel_id, segs_slice, n_blocks, transpose):
+        if cache.budget <= 0:
+            off, mem = _gather_side(plan, segs_slice)
+            return _pack_side(
+                off, mem - panel_id * plan.panel, n_blocks, block,
+                panel_pad, transpose,
+            )
+        key = ("bits", panel_id, _segs_digest(segs_slice), n_blocks,
+               transpose)
+        hit = cache.lookup(key)
+        if hit is not None:
+            return hit
+        off, mem = _gather_side(plan, segs_slice)
+        mem = mem - panel_id * plan.panel
+        bits = _pack_side(off, mem, n_blocks, block, panel_pad, transpose)
+        arr = _put_device(bits)
+        cache.put(key, arr, bits.nbytes)
+        return arr
+
+    def _limbs(segs_slice, n_blocks, transpose):
+        colors = plan.seg_color[segs_slice]
+        if cache.budget <= 0:
+            return _pad_limbs(plan.w_limbs[colors], n_blocks, block,
+                              transpose)
+        key = ("wl", _segs_digest(colors), n_blocks, transpose)
+        hit = cache.lookup(key)
+        if hit is not None:
+            return hit
+        wl = _pad_limbs(
+            plan.w_limbs[colors], n_blocks, block,
+            transpose,
+        )
+        arr = _put_device(wl)
+        cache.put(key, arr, wl.nbytes)
+        return arr
+
     def prepare(p: int):
-        """Host side: pack one panel pair's chunks (overlaps device work)."""
+        """Host side: pack one panel pair's chunks (overlaps device work).
+
+        Packed sides go through the device-resident LRU — a color block
+        spanning many panels is packed and transferred once per (panel,
+        selection) instead of once per panel *pair*."""
         pk = int(plan.pair_keys[p])
         pi, pj = pk // plan.n_panels, pk % plan.n_panels
         e0, e1 = int(plan.pair_off[p]), int(plan.pair_off[p + 1])
@@ -368,23 +485,14 @@ def iter_panel_pairs(
             if mesh is not None:
                 n_dev = mesh.devices.size
                 n_blocks = _cdiv(n_blocks, n_dev) * n_dev
-            off_a, mem_a = _gather_side(plan, segs_a[cs:ce])
-            mem_a = mem_a - pi * plan.panel
-            bits_a = _pack_side(
-                off_a, mem_a, n_blocks, block, panel_pad, engine == "pallas"
-            )
+            bits_a = _side(pi, segs_a[cs:ce], n_blocks, engine == "pallas")
             if pi == pj:
                 bits_b = bits_a
             else:
-                off_b, mem_b = _gather_side(plan, segs_b[cs:ce])
-                mem_b = mem_b - pj * plan.panel
-                bits_b = _pack_side(
-                    off_b, mem_b, n_blocks, block, panel_pad, engine == "pallas"
+                bits_b = _side(
+                    pj, segs_b[cs:ce], n_blocks, engine == "pallas"
                 )
-            wl = _pad_limbs(
-                plan.w_limbs[plan.seg_color[segs_a[cs:ce]]],
-                n_blocks, block, engine == "pallas",
-            )
+            wl = _limbs(segs_a[cs:ce], n_blocks, engine == "pallas")
             chunks.append((bits_a, bits_b, wl))
         return pi, pj, chunks
 
@@ -457,6 +565,11 @@ def iter_panel_pairs(
         out = extract(*pending)
         if out is not None:
             yield pending[0], pending[1], *out
+    if stats is not None:
+        stats.update(
+            cache_hits=cache.hits, cache_misses=cache.misses,
+            cache_bytes=cache.nbytes,
+        )
 
 
 def stream_pairwise_tsv(
@@ -468,6 +581,7 @@ def stream_pairwise_tsv(
     min_shared: int = 1,
     echo_progress: bool = False,
     mesh=None,
+    cache_bytes: int = 0,
 ) -> int:
     """Compute pairwise at any N and stream `{p}_kSpider_pairwise.tsv`.
 
@@ -486,8 +600,10 @@ def stream_pairwise_tsv(
 
     total = 0
     first = True
+    cache_stats: dict = {}
     gen = iter_panel_pairs(
-        plan, engine=engine, block=block, min_shared=min_shared, mesh=mesh
+        plan, engine=engine, block=block, min_shared=min_shared, mesh=mesh,
+        cache_bytes=cache_bytes, stats=cache_stats,
     )
     current_row = -1
     buf_i, buf_j, buf_v = [], [], []
@@ -524,5 +640,12 @@ def stream_pairwise_tsv(
             path,
             np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.int64), counts, header=True,
+        )
+    if echo_progress and cache_stats:
+        h, m = cache_stats["cache_hits"], cache_stats["cache_misses"]
+        print(
+            f"  device side-cache: {h} hits / {m} misses "
+            f"({cache_stats['cache_bytes'] / 1e6:.0f}MB resident)",
+            flush=True,
         )
     return total

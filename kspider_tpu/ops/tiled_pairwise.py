@@ -103,20 +103,51 @@ def build_panel_plan(
     mem = members[gather]
     cid = np.repeat(np.arange(len(keep), dtype=np.int64), kept_deg)
 
-    order = np.lexsort((mem, cid))
-    mem_s = mem[order].astype(np.int32)
-    cid_s = cid[order]
+    # ColorIndex CSRs keep each class's members ascending, and cid is
+    # nondecreasing by construction — when that holds (the common case)
+    # the 2-key sort over all postings is a no-op; only arbitrary CSRs
+    # (tests, external callers) pay for it.
+    unsorted_within = bool(
+        np.any((mem[1:] < mem[:-1]) & (cid[1:] == cid[:-1]))
+    ) if len(mem) > 1 else False
+    if unsorted_within:
+        order = np.lexsort((mem, cid))
+        mem_s = mem[order].astype(np.int32)
+        cid_s = cid[order]
+    else:
+        mem_s = mem.astype(np.int32)
+        cid_s = cid
     pan_s = mem_s.astype(np.int64) // panel
     key = cid_s * n_panels + pan_s
 
-    uniq, seg_start, seg_count = np.unique(
-        key, return_index=True, return_counts=True
-    )
+    # key is globally nondecreasing (cid sorted, panel sorted within
+    # color), so segment boundaries come from one diff scan — no
+    # sort-based np.unique over the posting list
+    if len(key):
+        new_seg = np.empty(len(key), dtype=bool)
+        new_seg[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_seg[1:])
+        seg_start = np.flatnonzero(new_seg)
+        seg_count = np.diff(np.append(seg_start, len(key)))
+        uniq = key[seg_start]
+    else:
+        seg_start = np.zeros(0, np.int64)
+        seg_count = np.zeros(0, np.int64)
+        uniq = np.zeros(0, np.int64)
     seg_color = uniq // n_panels
     seg_panel = (uniq % n_panels).astype(np.int32)
 
-    # per color: contiguous run of segments in `uniq`
-    _, col_first, col_t = np.unique(seg_color, return_index=True, return_counts=True)
+    # per color: contiguous run of segments in `uniq` (seg_color is
+    # nondecreasing, same scan trick)
+    if len(seg_color):
+        first_mask = np.empty(len(seg_color), dtype=bool)
+        first_mask[0] = True
+        np.not_equal(seg_color[1:], seg_color[:-1], out=first_mask[1:])
+        col_first = np.flatnonzero(first_mask)
+        col_t = np.diff(np.append(col_first, len(seg_color)))
+    else:
+        col_first = np.zeros(0, np.int64)
+        col_t = np.zeros(0, np.int64)
 
     ent_pa, ent_pb, ent_sa, ent_sb = [], [], [], []
     for t in np.unique(col_t):

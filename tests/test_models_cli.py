@@ -165,6 +165,22 @@ def test_cli_sketch_to_cluster(tmp_path, rng):
     assert {"a", "b"} in clusters
     assert {"c"} in clusters
 
+    # the fused --from-index path must produce the same clusters through
+    # the real CLI (overwrites the same output file)
+    r = _run_cli(
+        ["cluster", "-i", "skidx", "-c", "0.5", "--cpu", "--from-index"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    fused = [
+        set(line.split(","))
+        for line in (tmp_path / "skidx_kSpider_clusters_50.0%.tsv")
+        .read_text()
+        .splitlines()
+        if line
+    ]
+    assert sorted(map(sorted, fused)) == sorted(map(sorted, clusters))
+
 
 def test_index_kf_dir_phmap(tmp_path, rng):
     """Best-effort kProcessor .phmap reading: write u64->u64 dumps in the

@@ -23,6 +23,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from kspider_tpu.io import artifacts as artifacts_io
+from kspider_tpu.io import pairwise_tsv as pw_tsv
 from kspider_tpu.ops import cc as cc_ops
 from kspider_tpu.utils.logger import Logger
 
@@ -34,11 +35,7 @@ DISTANCE_TO_COL = {
 }
 
 
-#: rows parsed per chunk; the reference batches graph edges 10M at a time
-#: (/root/reference/pykSpider/kSpider2/ks_clustering.py:26) — we bound the
-#: *parse* at the same scale so a low --min-shared 100K-sample run
-#: (10^8-10^9 TSV rows) streams in constant memory.
-EDGE_CHUNK_ROWS = 10_000_000
+EDGE_CHUNK_ROWS = pw_tsv.PAIRWISE_CHUNK_ROWS
 
 
 def iter_pairwise_edge_chunks(
@@ -49,48 +46,25 @@ def iter_pairwise_edge_chunks(
 ):
     """Yield thresholded ``(src, dst)`` int32 edge-array chunks (0-based
     node ids) from the pairwise TSV, parsed vectorized ``chunk_rows`` rows
-    at a time (pandas C engine) so memory stays bounded regardless of TSV
-    size.  Float semantics match the reference's per-line ``float()``
-    (both are strtod)."""
-    import pandas as pd
-
+    at a time so memory stays bounded regardless of TSV size.  Float
+    semantics match the reference's per-line ``float()`` bit-for-bit
+    (see :mod:`kspider_tpu.io.pairwise_tsv`)."""
     pairwise_file = prefix + "_kSpider_pairwise.tsv"
-    if dist_type == "ani":
-        # the ani column file is row-aligned with the pairwise TSV
-        # (/root/reference/pykSpider/kSpider2/ks_clustering.py:70-117)
-        ani_file = prefix + "_kSpider_pairwise.ani_col.tsv"
-        pw_iter = pd.read_csv(
-            pairwise_file, sep="\t", header=0, usecols=[0, 1],
-            names=["s1", "s2", "sh", "mn", "av", "mx"],
-            dtype={"s1": np.int64, "s2": np.int64},
-            chunksize=chunk_rows, engine="c",
-        )
-        ani_iter = pd.read_csv(
-            ani_file, sep="\t", header=0, names=["d"],
-            dtype={"d": np.float64}, chunksize=chunk_rows, engine="c",
-        )
-        for pw_chunk, ani_chunk in zip(pw_iter, ani_iter):
-            dist = ani_chunk["d"].to_numpy()
-            keep = dist * 100.0 >= cutoff_percent
-            yield (
-                (pw_chunk["s1"].to_numpy()[keep] - 1).astype(np.int32),
-                (pw_chunk["s2"].to_numpy()[keep] - 1).astype(np.int32),
-            )
-        return
-
+    # the ani column file is row-aligned with the pairwise TSV
+    # (/root/reference/pykSpider/kSpider2/ks_clustering.py:70-117)
+    ani_file = (
+        prefix + "_kSpider_pairwise.ani_col.tsv"
+        if dist_type == "ani"
+        else None
+    )
     col = DISTANCE_TO_COL[dist_type]
-    names = ["s1", "s2", "sh", "mn", "av", "mx"]
-    for chunk in pd.read_csv(
-        pairwise_file, sep="\t", header=0, usecols=[0, 1, col],
-        names=names,
-        dtype={"s1": np.int64, "s2": np.int64, names[col]: np.float64},
-        chunksize=chunk_rows, engine="c",
+    for ids1, ids2, dist in pw_tsv.iter_pairwise_chunks(
+        pairwise_file, col, ani_file, chunk_rows
     ):
-        dist = chunk[names[col]].to_numpy()
         keep = dist * 100.0 >= cutoff_percent
         yield (
-            (chunk["s1"].to_numpy()[keep] - 1).astype(np.int32),
-            (chunk["s2"].to_numpy()[keep] - 1).astype(np.int32),
+            (ids1[keep] - 1).astype(np.int32),
+            (ids2[keep] - 1).astype(np.int32),
         )
 
 
@@ -115,6 +89,21 @@ def load_pairwise_edges(
             np.empty(0, dtype=np.int32),
         )
     return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def fold_edges_into_labels(labels, src, dst, n, cc_fn):
+    """Union a batch of edges into running component labels.
+
+    The labels compress everything seen so far into at most n "star"
+    edges (node -> component representative), so peak memory is
+    O(n + batch) however many edges stream through.  Both CC backends
+    return min-node-index representatives, which keeps the star edges a
+    faithful summary across folds.
+    """
+    star = np.nonzero(labels != np.arange(len(labels), dtype=np.int32))[0]
+    src_all = np.concatenate([np.asarray(src, dtype=np.int32), star.astype(np.int32)])
+    dst_all = np.concatenate([np.asarray(dst, dtype=np.int32), labels[star]])
+    return np.asarray(cc_fn(src_all, dst_all, n), dtype=np.int32)
 
 
 def cluster_from_index(
@@ -174,10 +163,9 @@ def cluster_from_index(
         nonlocal labels, pending
         if not buf_src:
             return
-        star = np.nonzero(labels != np.arange(len(labels), dtype=np.int32))[0]
-        src_all = np.concatenate(buf_src + [star.astype(np.int32)])
-        dst_all = np.concatenate(buf_dst + [labels[star]])
-        labels = np.asarray(cc_fn(src_all, dst_all, n), dtype=np.int32)
+        labels = fold_edges_into_labels(
+            labels, np.concatenate(buf_src), np.concatenate(buf_dst), n, cc_fn
+        )
         buf_src.clear()
         buf_dst.clear()
         pending = 0
@@ -247,9 +235,7 @@ def cluster_index(
     )
 
     # Streamed union: fold each thresholded edge chunk into the running
-    # component labels.  The labels compress everything seen so far into
-    # at most n "star" edges (node -> component representative), so peak
-    # memory is O(n + chunk) however many TSV rows there are.
+    # component labels (see fold_edges_into_labels).
     log.INFO("Clustering...")
     labels = np.arange(max(n, 1), dtype=np.int32)
     for src, dst in iter_pairwise_edge_chunks(
@@ -257,10 +243,7 @@ def cluster_index(
     ):
         if not len(src):
             continue
-        star = np.nonzero(labels != np.arange(len(labels), dtype=np.int32))[0]
-        src_all = np.concatenate([src, star.astype(np.int32)])
-        dst_all = np.concatenate([dst, labels[star]])
-        labels = np.asarray(cc_fn(src_all, dst_all, n), dtype=np.int32)
+        labels = fold_edges_into_labels(labels, src, dst, n, cc_fn)
     comps = cc_ops.labels_to_clusters(labels[:n])
     log.INFO(f"number of clusters: {len(comps)}")
 

@@ -279,8 +279,12 @@ def read_color_to_sources(path):
     """
     from kspider_tpu.io import native
 
-    if native.enabled() and native.available():
+    if native.enabled():
         try:
+            if not native.available():
+                raise RuntimeError(
+                    f"native library failed to load: {native.load_error()!r}"
+                )
             return native.read_color_to_sources(path)
         except native.NativeRequiredError:
             raise
@@ -309,8 +313,12 @@ def read_color_to_sources(path):
 def write_color_to_sources(path, colors, offsets, members) -> None:
     from kspider_tpu.io import native
 
-    if native.enabled() and native.available():
+    if native.enabled():
         try:
+            if not native.available():
+                raise RuntimeError(
+                    f"native library failed to load: {native.load_error()!r}"
+                )
             native.write_color_to_sources(path, colors, offsets, members)
             return
         except native.NativeRequiredError:

@@ -152,11 +152,15 @@ def write_ani_column(
     pairwise_file = prefix + "_kSpider_pairwise.tsv"
     out_file = prefix + "_kSpider_pairwise.ani_col.tsv"
     seq_to_kmers_tsv = prefix + "_kSpider_seqToKmersNo.tsv"
-    id_to_kmer_count = (
-        read_seq_to_kmers(seq_to_kmers_tsv)
-        if os.path.exists(seq_to_kmers_tsv)
-        else {}
-    )
+    if not os.path.exists(seq_to_kmers_tsv):
+        # the reference fails on open() here (ks_pairwise.py:58); a
+        # missing budget file would make every pair's
+        # exp_probability_nothing_common = 1.0, i.e. silently wrong
+        # reliability flags
+        if logger is not None:
+            logger.ERROR(f"File {seq_to_kmers_tsv} is not found.")
+        raise FileNotFoundError(seq_to_kmers_tsv)
+    id_to_kmer_count = read_seq_to_kmers(seq_to_kmers_tsv)
     unreliable = 0
     with open(pairwise_file) as pw, open(out_file, "w") as out:
         next(pw)

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from kspider_tpu.io import artifacts as artifacts_io
+from kspider_tpu.io import pairwise_tsv as pairwise_tsv_io
 from kspider_tpu.utils.logger import Logger
 
 DISTANCE_TO_COL = {
@@ -48,44 +49,7 @@ def get_newick(node, parent_dist, leaf_names, newick="") -> str:
 
 #: rows parsed per chunk when streaming the pairwise TSV (same scale as
 #: the reference's 10M-edge batches, ks_clustering.py:26)
-EXPORT_CHUNK_ROWS = 10_000_000
-
-
-def _iter_labeled_chunks(
-    pairwise_tsv: str, dist_col: int, ani_file: Optional[str],
-    chunk_rows: int,
-):
-    """Yield ``(ids1 i64, ids2 i64, dist f64)`` chunks from the pairwise
-    TSV (and the row-aligned ani column file for the ani metric)."""
-    names = ["s1", "s2", "sh", "mn", "av", "mx"]
-    if ani_file is not None:
-        pw_iter = pd.read_csv(
-            pairwise_tsv, sep="\t", header=0, usecols=[0, 1], names=names,
-            dtype={"s1": np.int64, "s2": np.int64},
-            chunksize=chunk_rows, engine="c",
-        )
-        ani_iter = pd.read_csv(
-            ani_file, sep="\t", header=0, names=["d"],
-            dtype={"d": np.float64}, chunksize=chunk_rows, engine="c",
-        )
-        for pw_chunk, ani_chunk in zip(pw_iter, ani_iter):
-            yield (
-                pw_chunk["s1"].to_numpy(),
-                pw_chunk["s2"].to_numpy(),
-                ani_chunk["d"].to_numpy(),
-            )
-        return
-    for chunk in pd.read_csv(
-        pairwise_tsv, sep="\t", header=0, usecols=[0, 1, dist_col],
-        names=names,
-        dtype={"s1": np.int64, "s2": np.int64, names[dist_col]: np.float64},
-        chunksize=chunk_rows, engine="c",
-    ):
-        yield (
-            chunk["s1"].to_numpy(),
-            chunk["s2"].to_numpy(),
-            chunk[names[dist_col]].to_numpy(),
-        )
+EXPORT_CHUNK_ROWS = pairwise_tsv_io.PAIRWISE_CHUNK_ROWS
 
 
 def export_pairwise(
@@ -158,7 +122,7 @@ def export_pairwise(
     log.INFO(f"Writing pairwise matrix to {labeled_out}")
     with open(labeled_out, "w") as new:
         new.write(header)
-        for ids1, ids2, dist in _iter_labeled_chunks(
+        for ids1, ids2, dist in pairwise_tsv_io.iter_pairwise_chunks(
             pairwise_tsv, dist_col, ani_file, chunk_rows
         ):
             pd.DataFrame(

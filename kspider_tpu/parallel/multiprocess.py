@@ -166,7 +166,9 @@ def color_slice(
     return lo, hi
 
 
-def _local_partial_from_slice(index, lo: int, hi: int, use_tpu: bool):
+def _local_partial_from_slice(
+    index, lo: int, hi: int, use_tpu: bool, engine: str = "auto"
+):
     """Partial shared matrix from a contiguous color-class slice."""
     from kspider_tpu.core.pairwise import compute_shared_matrix
     from kspider_tpu.core.index import ColorIndex
@@ -184,7 +186,7 @@ def _local_partial_from_slice(index, lo: int, hi: int, use_tpu: bool):
         slicing_mode=index.slicing_mode,
         params=index.params,
     )
-    return compute_shared_matrix(sub, use_tpu=use_tpu)
+    return compute_shared_matrix(sub, use_tpu=use_tpu, engine=engine)
 
 
 def run_distributed_pairwise(
@@ -195,17 +197,31 @@ def run_distributed_pairwise(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     echo_timers: bool = True,
+    engine: str = "auto",
 ) -> Optional[np.ndarray]:
     """Color-sliced multi-process pairwise over an existing index.
 
     Every process loads the same artifacts, computes the Gram partial of
     its color block, and the partials are psum-merged; process 0 emits
     the reference-exact TSVs.  Returns the full matrix on every process.
+
+    The merge is dense (each process holds the full NxN int64 partial),
+    so ``engine`` must be a dense variant — the panel-streamed ``tiled``
+    engine's sparse COO output cannot ride the exact psum merge and is
+    rejected here; its scaling story is the single-process streamed path.
     """
     import time
 
     from kspider_tpu.core import pairwise as core_pairwise
     from kspider_tpu.io import artifacts
+
+    if engine == "tiled":
+        raise ValueError(
+            "the panel-streamed 'tiled' engine is single-process only; "
+            "multi-process pairwise merges dense partials "
+            "(use --engine auto/bitmask/pallas/scatter, or drop "
+            "--num-processes to stream)"
+        )
 
     pid, nproc = initialize(coordinator, num_processes, process_id)
     t0 = time.perf_counter()
@@ -220,7 +236,7 @@ def run_distributed_pairwise(
 
     t0 = time.perf_counter()
     lo, hi = color_slice(index.num_colors, pid, nproc)
-    partial = _local_partial_from_slice(index, lo, hi, use_tpu)
+    partial = _local_partial_from_slice(index, lo, hi, use_tpu, engine)
     merged = psum_across_processes(partial)
     if echo_timers and pid == 0:
         print(

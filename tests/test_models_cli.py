@@ -64,6 +64,8 @@ def test_ani_column_file(tmp_path):
     prefix = str(tmp_path / "idx")
     with open(prefix + "_kSpider_pairwise.tsv", "w") as f:
         f.write("h\n1\t2\t100\t0.5\t0.6\t0.7\n1\t3\t50\t0.2\t0.3\t0.4\n")
+    with open(prefix + "_kSpider_seqToKmersNo.tsv", "w") as f:
+        f.write("ID\tseq\tkmers\n1\t1\t5000\n2\t2\t4000\n3\t3\t3000\n")
     out = ani.write_ani_column(prefix, 21, 1000)
     with open(out) as f:
         lines = f.read().splitlines()
@@ -217,3 +219,22 @@ def test_read_phmap_sketch_rejects_garbage(tmp_path):
     (tmp_path / "bad.phmap").write_bytes(b"\x01\x02\x03")
     with _pytest.raises((ValueError, EOFError)):
         read_phmap_sketch(str(tmp_path / "bad"))
+
+
+def test_ani_missing_kmer_budget_file_errors(tmp_path):
+    # the reference fails on open() of seqToKmersNo (ks_pairwise.py:58);
+    # proceeding with empty budgets would flag every pair unreliable
+    from kspider_tpu.models import ani as ani_model
+
+    prefix = str(tmp_path / "x")
+    with open(prefix + "_kSpider_pairwise.tsv", "w") as f:
+        f.write("h\n1\t2\t10\t0.5\t0.5\t0.5\n")
+    with pytest.raises(FileNotFoundError):
+        ani_model.write_ani_column(prefix, ksize=21, scale=1000)
+
+
+def test_multiprocess_rejects_tiled_engine(tmp_path):
+    from kspider_tpu.parallel import multiprocess as mp
+
+    with pytest.raises(ValueError, match="single-process"):
+        mp.run_distributed_pairwise(str(tmp_path / "x"), engine="tiled")

@@ -171,3 +171,81 @@ def test_stream_tsv_empty(rng, tmp_path):
     assert lines == [
         "source_1\tsource_2\tshared_kmers\tmin_containment\tavg_containment\tmax_containment"
     ]
+
+
+def _global_color_csr(rng, n, panel, n_colors):
+    """CSR of colors that each have one member in every panel — a panel's
+    side selection is then identical across its whole row of pairs, the
+    workload shape the device side cache exists for."""
+    n_panels = -(-n // panel)
+    m = np.stack(
+        [rng.integers(p * panel, min((p + 1) * panel, n), size=n_colors)
+         for p in range(n_panels)], axis=1,
+    ).reshape(-1).astype(np.int64)
+    o = (n_panels * np.arange(n_colors + 1)).astype(np.int64)
+    w = rng.integers(1, 100, size=n_colors).astype(np.int64)
+    return o, m, w
+
+
+def test_tiled_device_cache_hits_exact(rng):
+    # opt-in device-resident side cache (cache_bytes>0): on a
+    # panel-spanning workload the repeated side selections must hit the
+    # cache AND stay exact (wrong keying / stale reuse would corrupt the
+    # shared counts silently)
+    n = 1300
+    o, m, w = _global_color_csr(rng, n, 256, 60)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    stats = {}
+    s1 = assemble(
+        tp.iter_panel_pairs(
+            plan, engine="xla", block=128, tile=128,
+            cache_bytes=1 << 30, stats=stats,
+        ),
+        n,
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+    assert stats["cache_hits"] > 0
+    assert stats["cache_misses"] > 0
+
+
+def test_tiled_device_cache_eviction_exact(rng):
+    # a tiny budget forces constant LRU eviction on a mixed workload;
+    # output must be unchanged and the budget respected
+    budget = 200_000
+    n = 1300
+    o, m, w = random_csr(rng, 800, n, max_degree=14, max_weight=40000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    stats = {}
+    s1 = assemble(
+        tp.iter_panel_pairs(
+            plan, engine="xla", block=128, tile=128,
+            cache_bytes=budget, stats=stats,
+        ),
+        n,
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+    assert stats["cache_misses"] > 0
+    assert stats["cache_bytes"] <= budget
+
+
+def test_tiled_device_cache_sharded_exact(rng):
+    # the cache's NamedSharding device_put branch (mesh path) stays exact
+    from kspider_tpu.parallel.mesh import make_mesh
+
+    n = 600
+    o, m, w = random_csr(rng, 500, n, max_degree=10, max_weight=1000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    mesh = make_mesh()
+    stats = {}
+    s1 = assemble(
+        tp.iter_panel_pairs(
+            plan, block=128, tile=128, mesh=mesh,
+            cache_bytes=1 << 30, stats=stats,
+        ),
+        n,
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+    assert stats["cache_misses"] > 0

@@ -254,24 +254,13 @@ def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, en
     _, n_procs, _ = mp.resolve_flags(coordinator, num_processes, process_id)
     if not ani:
         if n_procs > 1:
-            if engine == "tiled":
-                log.ERROR(
-                    "--engine tiled is single-process only (the streamed "
-                    "sparse output cannot ride the multi-process dense "
-                    "merge); use --engine auto/bitmask/pallas/scatter or "
-                    "drop --num-processes"
-                )
-            if min_shared != 1:
-                log.WARNING(
-                    "--min-shared only filters the tiled engine; the "
-                    "multi-process dense merge emits every shared pair"
-                )
             log.INFO(
                 f"Constructing the containment pairwise matrix across "
                 f"{n_procs} coordinated processes."
             )
-            mp.run_distributed_pairwise(
+            mp.run_multiprocess_pairwise(
                 index_prefix, use_tpu=not force_cpu, engine=engine,
+                panel=panel, min_shared=min_shared,
                 coordinator=coordinator, num_processes=num_processes,
                 process_id=process_id,
             )

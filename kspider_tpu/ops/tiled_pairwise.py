@@ -199,6 +199,55 @@ def build_panel_plan(
     )
 
 
+def panel_row_work(plan: PanelPlan) -> np.ndarray:
+    """Per-panel-row pair-entry counts — the load estimate used to assign
+    whole panel rows to processes (parallel/multiprocess.py)."""
+    lengths = np.diff(plan.pair_off)
+    pis = plan.pair_keys // plan.n_panels
+    work = np.zeros(plan.n_panels, dtype=np.int64)
+    np.add.at(work, pis.astype(np.int64), lengths)
+    return work
+
+
+def filter_plan_rows(plan: PanelPlan, rows) -> PanelPlan:
+    """Restrict a plan to the panel pairs whose ROW panel is in ``rows``.
+
+    Shares all posting/segment arrays with the parent plan; only the
+    pair CSR is rebuilt.  A sample pair (gi, gj) with gi < gj is emitted
+    by exactly one panel pair — (gi // panel, gj // panel) — so panel
+    rows partition the streamed output into disjoint, contiguous blocks
+    of the global (gi, gj) sort order: per-row outputs computed by
+    different processes concatenate (in row order) to the exact
+    single-process stream.
+    """
+    rows = np.asarray(sorted({int(r) for r in np.asarray(rows).ravel()}))
+    pis = plan.pair_keys // plan.n_panels
+    keep = np.flatnonzero(np.isin(pis, rows))
+    lengths = np.diff(plan.pair_off)
+    new_off = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(lengths[keep], out=new_off[1:])
+    if len(keep):
+        ent_idx = np.concatenate(
+            [
+                np.arange(plan.pair_off[p], plan.pair_off[p + 1])
+                for p in keep
+            ]
+        )
+    else:
+        ent_idx = np.zeros(0, dtype=np.int64)
+    return PanelPlan(
+        n=plan.n, panel=plan.panel, n_panels=plan.n_panels,
+        mem_s=plan.mem_s,
+        seg_start=plan.seg_start, seg_count=plan.seg_count,
+        seg_color=plan.seg_color, w_limbs=plan.w_limbs,
+        pair_keys=plan.pair_keys[keep],
+        pair_off=new_off,
+        ent_sega=plan.ent_sega[ent_idx],
+        ent_segb=plan.ent_segb[ent_idx],
+        max_weight_sum=plan.max_weight_sum,
+    )
+
+
 def _gather_side(plan: PanelPlan, segs: np.ndarray):
     """Selected segments -> (local CSR offsets, member ids)."""
     cnt = plan.seg_count[segs]

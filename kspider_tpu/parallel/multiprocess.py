@@ -250,6 +250,201 @@ def run_distributed_pairwise(
     return merged
 
 
+def assign_panel_rows(work: np.ndarray, num_processes: int) -> np.ndarray:
+    """Deterministic greedy balanced assignment of panel rows to
+    processes: rows in descending work order go to the least-loaded
+    process (ties by process id).  Every process computes the same
+    assignment from the same plan, so no coordination is needed."""
+    loads = np.zeros(num_processes, dtype=np.int64)
+    owner = np.zeros(len(work), dtype=np.int64)
+    for r in np.argsort(-np.asarray(work), kind="stable"):
+        p = int(np.argmin(loads))  # argmin ties -> lowest id
+        owner[r] = p
+        loads[p] += int(work[r])
+    return owner
+
+
+def _part_path(prefix: str, pi: int) -> str:
+    return f"{prefix}_kSpider_pairwise.row{pi:06d}.part"
+
+
+def run_distributed_tiled_pairwise(
+    prefix: str,
+    index=None,
+    use_tpu: bool = True,
+    panel: int = 4096,
+    block: int = 1024,
+    min_shared: int = 1,
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    echo_timers: bool = True,
+) -> int:
+    """Multi-process panel-streamed pairwise (the 100K+-scale path).
+
+    Panel rows partition the streamed TSV into disjoint contiguous
+    blocks (ops/tiled_pairwise.filter_plan_rows), so each process
+    computes whole panel rows — greedily load-balanced by pair-entry
+    count — and writes one sorted part file per owned row.  Process 0
+    concatenates the parts in row order into a TSV byte-identical to
+    the single-process stream.  Requires a shared filesystem for the
+    part files (the same requirement the artifact inputs already have).
+    Returns the global pair-row count on every process.
+    """
+    import time
+
+    import jax
+
+    from kspider_tpu.core import pairwise as core_pairwise
+    from kspider_tpu.io import artifacts
+    from kspider_tpu.ops import tiled_pairwise as tp
+
+    pid, nproc = initialize(coordinator, num_processes, process_id)
+    t0 = time.perf_counter()
+    if index is None:
+        from kspider_tpu.io import npz_index
+
+        index = npz_index.load(prefix)
+        if index is None:
+            index = artifacts.load_index_artifacts(prefix)
+    if echo_timers and pid == 0:
+        print(f"mapping colors to groups: {time.perf_counter() - t0:.6g} secs")
+
+    t0 = time.perf_counter()
+    plan = tp.build_panel_plan(
+        index.color_offsets, index.color_members, index.color_counts,
+        index.num_groups, panel,
+    )
+    counts = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
+    owner = assign_panel_rows(tp.panel_row_work(plan), nproc)
+    my_rows = np.flatnonzero(owner == pid)
+    sub = tp.filter_plan_rows(plan, my_rows)
+    # the part writer appends: clear any stale parts from a crashed run
+    for pi in my_rows:
+        part = _part_path(prefix, int(pi))
+        if os.path.exists(part):
+            os.remove(part)
+    # explicit local engine: "auto" on a multi-device jax.distributed
+    # backend would build a GLOBAL mesh and turn every panel pair into a
+    # collective — each process's rows are independent by construction
+    engine = (
+        "xla"
+        if (not use_tpu or jax.default_backend() == "cpu")
+        else "pallas"
+    )
+
+    total_local = 0
+    current_row = -1
+    buf_i: List[np.ndarray] = []
+    buf_j: List[np.ndarray] = []
+    buf_v: List[np.ndarray] = []
+
+    def flush():
+        nonlocal total_local
+        if current_row < 0 or not buf_i:
+            return
+        gi = np.concatenate(buf_i)
+        gj = np.concatenate(buf_j)
+        sv = np.concatenate(buf_v)
+        order = np.lexsort((gj, gi))
+        core_pairwise.write_pairwise_rows_coo(
+            _part_path(prefix, current_row),
+            gi[order], gj[order], sv[order], counts, header=False,
+        )
+        total_local += len(gi)
+        buf_i.clear()
+        buf_j.clear()
+        buf_v.clear()
+
+    for pi, pj, gi, gj, vals in tp.iter_panel_pairs(
+        sub, engine=engine, block=block, min_shared=min_shared, mesh=None,
+    ):
+        if pi != current_row:
+            flush()
+            current_row = pi
+        buf_i.append(gi)
+        buf_j.append(gj)
+        buf_v.append(vals)
+    flush()
+
+    if pid == 0:
+        core_pairwise.write_seq_to_kmers_tsv(prefix, index)
+    barrier("tiled-parts")
+    total = int(
+        psum_across_processes(np.array([total_local], dtype=np.int64))[0]
+    )
+    if echo_timers and pid == 0:
+        print(
+            f"pairwise matrix construction: {time.perf_counter() - t0:.6g} secs"
+        )
+
+    if pid == 0:
+        path = prefix + "_kSpider_pairwise.tsv"
+        core_pairwise.write_pairwise_rows_coo(
+            path,
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), counts, header=True,
+        )
+        with open(path, "ab") as out:
+            for pi in range(plan.n_panels):
+                part = _part_path(prefix, pi)
+                if os.path.exists(part):
+                    with open(part, "rb") as f:
+                        while True:
+                            chunk = f.read(1 << 24)
+                            if not chunk:
+                                break
+                            out.write(chunk)
+                    os.remove(part)
+    barrier("tiled-tsv")
+    return total
+
+
+def run_multiprocess_pairwise(
+    prefix: str,
+    use_tpu: bool = True,
+    engine: str = "auto",
+    panel: int = 4096,
+    min_shared: int = 1,
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """CLI dispatcher: same engine auto rule as the single-process
+    ``core.pairwise.run_pairwise`` — the panel-streamed path for
+    ``--engine tiled`` or N above the auto threshold, the dense
+    psum-merged path otherwise."""
+    from kspider_tpu.core.pairwise import AUTO_TILED_THRESHOLD
+    from kspider_tpu.io import artifacts, npz_index
+
+    index = npz_index.load(prefix)
+    if index is None:
+        index = artifacts.load_index_artifacts(prefix)
+    tiled = engine == "tiled" or (
+        engine == "auto" and use_tpu and index.num_groups > AUTO_TILED_THRESHOLD
+    )
+    if tiled:
+        run_distributed_tiled_pairwise(
+            prefix, index=index, use_tpu=use_tpu, panel=panel,
+            min_shared=min_shared, coordinator=coordinator,
+            num_processes=num_processes, process_id=process_id,
+        )
+        return
+    if min_shared != 1:
+        import warnings
+
+        warnings.warn(
+            "--min-shared only filters the panel-streamed engine; the "
+            "multi-process dense merge emits every shared pair",
+            RuntimeWarning,
+        )
+    run_distributed_pairwise(
+        prefix, index=index, use_tpu=use_tpu, engine=engine,
+        coordinator=coordinator, num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def distributed_pairwise_from_hash_sets(
     names: Sequence[str],
     hash_arrays: Sequence[np.ndarray],

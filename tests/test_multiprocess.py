@@ -48,6 +48,12 @@ WORKER = textwrap.dedent(
             names, arrays, prefix, ksize=21,
             coordinator=coord, num_processes=nproc, process_id=pid,
         )
+    elif mode == "tiled":
+        mp.run_distributed_tiled_pairwise(
+            prefix, use_tpu=False, panel=16, block=128,
+            coordinator=coord, num_processes=nproc, process_id=pid,
+            echo_timers=False,
+        )
     else:
         mp.run_distributed_pairwise(
             prefix, use_tpu=False, coordinator=coord,
@@ -139,6 +145,65 @@ def test_colorslice_two_process_matches_single(tmp_path):
     golden = open(golden_prefix + "_kSpider_pairwise.tsv", "rb").read()
     got = open(dist_prefix + "_kSpider_pairwise.tsv", "rb").read()
     assert got == golden
+
+
+def test_tiled_two_process_matches_single_stream(tmp_path):
+    """Panel-row-partitioned streamed pairwise across 2 real processes ==
+    the single-process streamed TSV, byte for byte (the 100K+-scale
+    multi-process path)."""
+    from kspider_tpu.ops import tiled_pairwise as tp
+
+    names, arrays = _dataset()
+    golden_prefix = str(tmp_path / "golden")
+    index = build_index_from_hash_sets(names, arrays, ksize=21,
+                                       params="kSize:21")
+    tp.stream_pairwise_tsv(index, golden_prefix, panel=16, engine="xla",
+                           block=128)
+    core_pairwise.write_seq_to_kmers_tsv(golden_prefix, index)
+
+    dist_prefix = str(tmp_path / "dist")
+    artifacts_io.write_index_artifacts(dist_prefix, index)
+    _spawn_workers(tmp_path, "tiled", dist_prefix, nproc=2)
+
+    for suffix in ("_kSpider_pairwise.tsv", "_kSpider_seqToKmersNo.tsv"):
+        golden = open(golden_prefix + suffix, "rb").read()
+        got = open(dist_prefix + suffix, "rb").read()
+        assert got == golden, suffix
+    assert not [
+        f for f in os.listdir(tmp_path) if f.endswith(".part")
+    ], "part files must be cleaned up"
+
+
+def test_assign_panel_rows_partition_and_balance():
+    from kspider_tpu.parallel import multiprocess as mp
+
+    work = np.array([100, 90, 10, 10, 10, 10, 10, 10], dtype=np.int64)
+    owner = mp.assign_panel_rows(work, 3)
+    assert len(owner) == len(work)
+    assert set(owner.tolist()) <= {0, 1, 2}
+    loads = [int(work[owner == q].sum()) for q in range(3)]
+    # greedy: the two heavy rows land on different processes
+    assert owner[0] != owner[1]
+    assert max(loads) <= 110
+
+
+def test_filter_plan_rows_partitions_pairs(rng):
+    from kspider_tpu.ops import tiled_pairwise as tp
+    from kspider_tpu.parallel import multiprocess as mp
+    from tests.test_pairwise_ops import random_csr
+
+    n = 700
+    o, m, w = random_csr(rng, 400, n, max_degree=9, max_weight=500)
+    plan = tp.build_panel_plan(o, m, w, n, panel=128)
+    owner = mp.assign_panel_rows(tp.panel_row_work(plan), 3)
+    seen = []
+    total_entries = 0
+    for q in range(3):
+        sub = tp.filter_plan_rows(plan, np.flatnonzero(owner == q))
+        seen.extend(sub.pair_keys.tolist())
+        total_entries += int(sub.pair_off[-1])
+    assert sorted(seen) == sorted(plan.pair_keys.tolist())
+    assert total_entries == int(plan.pair_off[-1])
 
 
 def test_color_slice_covers_range():

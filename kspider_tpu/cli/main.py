@@ -239,7 +239,7 @@ def _validate_names(log, names_file):
 @click.option("--cpu", "force_cpu", is_flag=True, default=False, help="use the host (numpy) engine instead of the TPU kernel")
 @click.option("--engine", "engine", default="auto", show_default=True, type=click.Choice(["auto", "bitmask", "pallas", "scatter", "tiled"]), help="TPU co-occurrence engine variant (tiled = panel-streamed, any N)")
 @click.option("--panel", "panel", default=4096, show_default=True, type=int, help="sample-panel width for the tiled engine")
-@click.option("--min-shared", "min_shared", default=1, show_default=True, type=int, help="emit only pairs with at least this many shared k-mers (tiled engine)")
+@click.option("--min-shared", "min_shared", default=1, show_default=True, type=int, help="emit only pairs with at least this many shared k-mers (all engines)")
 @click.option("--coordinator", "coordinator", default=None, type=click.STRING, help="jax.distributed coordinator address (host:port) for multi-process runs; or env KSPIDER_COORDINATOR")
 @click.option("--num-processes", "num_processes", default=None, type=int, help="total coordinated processes (multi-host); or env KSPIDER_NUM_PROCESSES")
 @click.option("--process-id", "process_id", default=None, type=int, help="this process's id in [0, num-processes); or env KSPIDER_PROCESS_ID")
@@ -280,6 +280,10 @@ def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, en
     if not os.path.exists(pairwise_file):
         log.ERROR("Please, run the same command without --estimate-ani first, then run this command.")
     log.INFO("Estimating the ANI. This might take some time if the data is very large.")
+    if user_threads > 1:
+        # reference parity: ks_pairwise.py:40-41 warns that ANI estimation
+        # is single-threaded
+        log.WARNING("sorry, current ANI estimation implementation does not allow multithreading")
     if not sourmash_scale:
         log.ERROR("estimating ANI requires to provide --scale value")
     with open(f"{index_prefix}.extra") as extra:
@@ -335,16 +339,20 @@ def cluster(ctx, index_prefix, cutoff, distance_type, force_cpu, from_index, pan
 @click.option("--newick", "newick", is_flag=True, help="Convert pairwise (containment) matrix to newick format", default=False)
 @click.option("-d", "--dist-type", "distance_type", required=False, default="max_cont", show_default=True, type=click.STRING, help="select from ['min_cont', 'avg_cont', 'max_cont', 'ani']")
 @click.option("-o", "overwritten_output", default="na", required=False, type=click.STRING, help="custom output file name prefix")
-@click.option("--no-distmat", "no_distmat", is_flag=True, default=False, help="skip the NxN distance matrix (O(N^2); use for very large N)")
+@click.option("--no-distmat", "no_distmat", is_flag=True, default=False, help="skip the NxN distance matrix (O(N^2); auto-skipped above 16384 samples)")
+@click.option("--force-distmat", "force_distmat", is_flag=True, default=False, help="build the NxN distance matrix even above the auto-gate threshold")
 @click.pass_context
-def export(ctx, index_prefix, newick, distance_type, overwritten_output, no_distmat):
+def export(ctx, index_prefix, newick, distance_type, overwritten_output, no_distmat, force_distmat):
     """Export kSpider pairwise to multiple formats."""
     from kspider_tpu.models import export as export_model
 
+    if no_distmat and force_distmat:
+        ctx.obj.ERROR("--no-distmat and --force-distmat are mutually exclusive")
     out = None if overwritten_output == "na" else overwritten_output
+    distmat = False if no_distmat else (True if force_distmat else None)
     export_model.export_pairwise(
         index_prefix, distance_type=distance_type, newick=newick,
-        output_prefix=out, logger=ctx.obj, distmat=not no_distmat,
+        output_prefix=out, logger=ctx.obj, distmat=distmat,
     )
 
 

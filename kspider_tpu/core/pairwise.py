@@ -74,10 +74,15 @@ def write_seq_to_kmers_tsv(prefix: str, index: ColorIndex) -> None:
 
 
 def write_pairwise_tsv(
-    prefix: str, index: ColorIndex, shared: np.ndarray
+    prefix: str, index: ColorIndex, shared: np.ndarray, min_shared: int = 1
 ) -> int:
-    """Emit ``{p}_kSpider_pairwise.tsv``; returns the number of pair rows."""
+    """Emit ``{p}_kSpider_pairwise.tsv``; returns the number of pair rows.
+
+    ``min_shared`` filters rows below the shared-k-mer floor — the same
+    semantics the panel-streamed engine applies on device, so the flag
+    behaves identically on every engine."""
     n = index.num_groups
+    min_shared = max(1, int(min_shared))
     counts64 = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
     from kspider_tpu.io import native
 
@@ -88,16 +93,17 @@ def write_pairwise_tsv(
                     f"native library failed to load: {native.load_error()!r}"
                 )
             native.write_pairwise_tsv(
-                prefix + "_kSpider_pairwise.tsv", shared, counts64
+                prefix + "_kSpider_pairwise.tsv", shared, counts64,
+                min_shared=min_shared,
             )
-            return int((shared > 0).sum()) // 2
+            return int((shared >= min_shared).sum()) // 2
         except native.NativeRequiredError:
             raise
         except Exception as exc:
             native.report_fallback("write_pairwise_tsv", exc)
     iu, ju = np.triu_indices(n, k=1)
     s = shared[iu, ju]
-    nz = s > 0
+    nz = s >= min_shared
     iu, ju, s = iu[nz], ju[nz], s[nz]
 
     # kmer counts; missing (never-ingested) groups behave like phmap
@@ -254,5 +260,5 @@ def run_pairwise(
             f"pairwise matrix construction: {time.perf_counter() - t0:.6g} secs"
         )
         print(f"writing pairwise matrix to {prefix}_kSpider_pairwise.tsv")
-    write_pairwise_tsv(prefix, index, shared)
+    write_pairwise_tsv(prefix, index, shared, min_shared=min_shared)
     return shared

@@ -80,10 +80,24 @@ _lock = threading.Lock()
 _build_attempted = False
 _load_error: Optional[BaseException] = None
 
+#: bumped in lockstep with ks_abi_version() in native/src/kspider_native.cpp;
+#: a stale .so is rebuilt (make clean to force a fresh inode for dlopen)
+#: instead of being called with mismatched signatures
+_ABI_VERSION = 2
+
 
 def load_error() -> Optional[BaseException]:
     """The exception from the last failed load attempt, if any."""
     return _load_error
+
+
+def _abi_of(lib: ctypes.CDLL) -> int:
+    try:
+        fn = lib.ks_abi_version
+    except AttributeError:
+        return 1  # pre-versioning builds
+    fn.restype = ctypes.c_int
+    return int(fn())
 
 
 def _try_load() -> Optional[ctypes.CDLL]:
@@ -114,6 +128,29 @@ def _try_load() -> Optional[ctypes.CDLL]:
         except OSError as exc:
             _load_error = exc
             return None
+        if _abi_of(lib) != _ABI_VERSION:
+            # stale build: `make clean` first so the rebuilt .so gets a
+            # fresh inode — dlopen dedupes by (dev, inode), so an
+            # in-place overwrite would hand back the old handle
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "clean"],
+                    check=True, capture_output=True, timeout=60,
+                )
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True, capture_output=True, timeout=120,
+                )
+                lib = ctypes.CDLL(_LIB_PATH)
+            except Exception as exc:
+                _load_error = exc
+                return None
+            if _abi_of(lib) != _ABI_VERSION:
+                _load_error = RuntimeError(
+                    f"native ABI {_abi_of(lib)} != expected {_ABI_VERSION} "
+                    f"even after rebuild ({_LIB_PATH})"
+                )
+                return None
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.ks_free.argtypes = [ctypes.c_void_p]
         lib.ks_murmur64_batch.argtypes = [
@@ -155,7 +192,12 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ]
         lib.ks_write_pairwise_tsv.restype = ctypes.c_int
         lib.ks_write_pairwise_tsv.argtypes = [
-            ctypes.c_char_p, i64p, ctypes.c_int32, i64p,
+            ctypes.c_char_p, i64p, ctypes.c_int32, i64p, ctypes.c_int64,
+        ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ks_pack_segments.argtypes = [
+            i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u8p,
         ]
         lib.ks_write_pairwise_coo.restype = ctypes.c_int
         lib.ks_write_pairwise_coo.argtypes = [
@@ -295,9 +337,12 @@ def build_colors(hashes: np.ndarray, gids: np.ndarray):
     return offsets, members, counts
 
 
-def write_pairwise_tsv(path: str, s: np.ndarray, kmer_counts: np.ndarray) -> None:
+def write_pairwise_tsv(
+    path: str, s: np.ndarray, kmer_counts: np.ndarray, min_shared: int = 1
+) -> None:
     """Emit the pairwise TSV with true C float formatting (%g, 6 sig
-    digits) — identical to the reference's ostream output."""
+    digits) — identical to the reference's ostream output.  Rows with
+    fewer than ``min_shared`` shared k-mers are skipped."""
     lib = _try_load()
     s = np.ascontiguousarray(s, dtype=np.int64)
     counts = np.ascontiguousarray(kmer_counts, dtype=np.int64)
@@ -306,9 +351,51 @@ def write_pairwise_tsv(path: str, s: np.ndarray, kmer_counts: np.ndarray) -> Non
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         s.shape[0],
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(min_shared),
     )
     if rc != 0:
         raise IOError(f"native write_pairwise_tsv failed with code {rc}")
+
+
+def pack_segments(
+    mem_s: np.ndarray,
+    seg_start: np.ndarray,
+    seg_count: np.ndarray,
+    panel_base: int,
+    n8: int,
+    block: int,
+    n_blocks: int,
+    transposed: bool,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """OpenMP bitmask packer for the panel-streamed engine.
+
+    Segment ``s`` (postings ``mem_s[seg_start[s] : seg_start[s] +
+    seg_count[s]]``, panel-local after subtracting ``panel_base``) fills
+    output row ``(s // block, s % block)``.  Returns the packed blocks:
+    ``u8[n_blocks, block, n8]`` or, transposed, ``u8[n_blocks, n8, block]``
+    (the Pallas kernel layout) — replacing both the ``np.bitwise_or.at``
+    pack and the post-hoc transpose copy.
+    """
+    lib = _try_load()
+    mem_s = np.ascontiguousarray(mem_s, dtype=np.int32)
+    seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
+    seg_count = np.ascontiguousarray(seg_count, dtype=np.int64)
+    shape = (n_blocks, n8, block) if transposed else (n_blocks, block, n8)
+    if out is None:
+        out = np.zeros(shape, dtype=np.uint8)
+    lib.ks_pack_segments(
+        mem_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seg_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg_count.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seg_start),
+        ctypes.c_int64(panel_base),
+        ctypes.c_int64(n8),
+        ctypes.c_int64(block),
+        ctypes.c_int32(1 if transposed else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def write_pairwise_coo(

@@ -58,21 +58,27 @@ def export_pairwise(
     newick: bool = False,
     output_prefix: Optional[str] = None,
     logger: Optional[Logger] = None,
-    distmat: bool = True,
+    distmat: Optional[bool] = None,
     chunk_rows: int = EXPORT_CHUNK_ROWS,
 ) -> Tuple[str, str, Optional[str]]:
     """Labeled TSV (streamed/vectorized, any N) + NxN distance matrix and
-    optional newick (inherently O(N^2) — gate with ``distmat=False`` at
-    large N; the reference's pandas pivot has the same quadratic floor).
-    Output bytes are identical to the reference's per-line loop: pandas
-    ``to_csv`` float formatting is the same shortest-round-trip repr as
-    an f-string."""
+    optional newick.
+
+    The distance matrix is inherently O(N^2) text; with ``distmat=None``
+    (the default) it is auto-gated off above the same sample threshold at
+    which pairwise switches to the streaming engine
+    (``core.pairwise.AUTO_TILED_THRESHOLD``) — pass ``distmat=True``
+    (CLI ``--force-distmat``) to override, ``False`` to always skip.
+    The reference (ks_export.py:152-160) would attempt the quadratic
+    pandas pivot at any N and OOM long before.  Output bytes are
+    identical to the reference's per-line loop: pandas ``to_csv`` float
+    formatting is the same shortest-round-trip repr as an f-string."""
     log = logger or Logger(quiet=True)
     if distance_type not in DISTANCE_TO_COL:
         log.ERROR("unknown distance!")
         raise ValueError("unknown distance")
     dist_col = DISTANCE_TO_COL[distance_type]
-    if newick and not distmat:
+    if newick and distmat is False:
         log.ERROR("--newick requires the distance matrix (remove --no-distmat)")
         raise ValueError("newick requires distmat")
 
@@ -86,6 +92,28 @@ def export_pairwise(
             raise FileNotFoundError(_file)
 
     names_map = artifacts_io.read_names_map(names_map_file)
+
+    if distmat is None:
+        # auto-gate: consistent with pairwise's automatic switch to the
+        # streaming engine at the same N
+        from kspider_tpu.core.pairwise import AUTO_TILED_THRESHOLD
+
+        distmat = len(names_map) <= AUTO_TILED_THRESHOLD
+        if not distmat:
+            if newick:
+                log.ERROR(
+                    f"--newick needs the NxN distance matrix, which is "
+                    f"auto-skipped at {len(names_map)} samples (> "
+                    f"{AUTO_TILED_THRESHOLD}); pass --force-distmat to "
+                    "build it anyway"
+                )
+                raise ValueError("newick requires distmat")
+            log.WARNING(
+                f"skipping the NxN distance matrix: {len(names_map)} "
+                f"samples exceed the {AUTO_TILED_THRESHOLD}-sample "
+                "auto-gate (O(N^2) text); pass --force-distmat to build "
+                "it anyway"
+            )
 
     if output_prefix:
         labeled_out = f"{output_prefix}_pairwise.tsv"

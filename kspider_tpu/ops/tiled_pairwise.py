@@ -226,15 +226,10 @@ def filter_plan_rows(plan: PanelPlan, rows) -> PanelPlan:
     lengths = np.diff(plan.pair_off)
     new_off = np.zeros(len(keep) + 1, dtype=np.int64)
     np.cumsum(lengths[keep], out=new_off[1:])
-    if len(keep):
-        ent_idx = np.concatenate(
-            [
-                np.arange(plan.pair_off[p], plan.pair_off[p + 1])
-                for p in keep
-            ]
-        )
-    else:
-        ent_idx = np.zeros(0, dtype=np.int64)
+    # CSR gather idiom (repeat of starts + intra-pair ramp), no Python loop
+    ent_idx = np.repeat(plan.pair_off[keep], lengths[keep]) + (
+        np.arange(int(new_off[-1])) - np.repeat(new_off[:-1], lengths[keep])
+    )
     return PanelPlan(
         n=plan.n, panel=plan.panel, n_panels=plan.n_panels,
         mem_s=plan.mem_s,
@@ -285,7 +280,10 @@ def _rect_scan(bits_i, bits_j, wl, n_limbs: int, axis=None):
 
     acc0 = jnp.zeros((n_limbs, pi, pj), dtype=jnp.int32)
     if axis is not None:
-        acc0 = jax.lax.pvary(acc0, (axis,))
+        if hasattr(jax.lax, "pcast"):
+            acc0 = jax.lax.pcast(acc0, axis, to="varying")
+        else:  # older jax
+            acc0 = jax.lax.pvary(acc0, (axis,))
     acc, _ = jax.lax.scan(body, acc0, (bits_i, bits_j, wl))
     return acc
 
@@ -332,13 +330,44 @@ def _gram_rect_sharded(bits_i, bits_j, wl, n_limbs: int, mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))
+def _extract_limbs(acc, cap: int, n_limbs: int, diag: bool):
+    """Sparsify WITHOUT recombining: per-limb values for host recombine.
+
+    The big-weight path (total kept weight >= 2**31): the combined tile
+    would overflow int32 on device, but each limb plane is individually
+    exact (``acc[l] <= W / 128**l``... bounded by 127 * colors < 2**31),
+    so we extract the support (any limb nonzero) with per-limb int32
+    values and let the host recombine in int64 — the streamed analogue
+    of the dense path's super-block int64 recombination
+    (ops/pairwise.py shared_kmer_matrix).
+
+    acc i32[L, Pi, Pj] -> (flat idx i32[cap], vals i32[L, cap], count).
+    min_shared filtering happens on host after recombination."""
+    pi, pj = acc.shape[1], acc.shape[2]
+    mask = jnp.any(acc != 0, axis=0)
+    if diag:
+        row = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 1)
+        mask = mask & (row < col)
+    flat_mask = mask.ravel()
+    count = flat_mask.sum()
+    (idx,) = jnp.nonzero(flat_mask, size=cap, fill_value=pi * pj)
+    safe = jnp.minimum(idx, pi * pj - 1)
+    vals = acc.reshape(n_limbs, pi * pj)[:, safe]
+    vals = jnp.where(idx[None, :] < pi * pj, vals, 0)
+    return idx.astype(jnp.int32), vals, count
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))
 def _combine_extract(acc, min_shared, cap: int, n_limbs: int, diag: bool):
     """Recombine weight limbs and sparsify on device.
 
     acc i32[L, Pi, Pj] -> (flat idx i32[cap], vals i32[cap], count).
     Values below ``min_shared`` are dropped; for a diagonal panel pair only
     the strict upper triangle survives.  Exact while the true entry sum
-    stays below 2**31 (callers check plan.max_weight_sum)."""
+    stays below 2**31 — partial sums of the nonnegative limb terms are
+    bounded by the true value; callers route larger weight sums to
+    ``_extract_limbs``."""
     tile = acc[0]
     scale = 1
     for l in range(1, n_limbs):
@@ -373,6 +402,46 @@ def _pack_side(off, mem_local, n_blocks: int, block: int, panel_pad: int,
     if transpose:
         bits = np.ascontiguousarray(bits.transpose(0, 2, 1))
     return bits
+
+
+def _pack_panel_side(
+    plan: PanelPlan, panel_id: int, segs_slice: np.ndarray, n_blocks: int,
+    block: int, panel_pad: int, transpose: bool,
+) -> np.ndarray:
+    """Pack one panel pair side straight from the plan's segment CSR.
+
+    Native fast path: ``ks_pack_segments`` (OpenMP over segments, emits
+    the transposed Pallas layout directly) replaces the measured
+    bottleneck of the streamed engine — single-threaded
+    ``np.bitwise_or.at`` plus a transpose copy (VERDICT r2: ~80% of the
+    102K run's wall was pack+transfer)."""
+    from kspider_tpu.io import native
+
+    if native.enabled():
+        try:
+            if not native.available():
+                raise RuntimeError(
+                    f"native library failed to load: {native.load_error()!r}"
+                )
+            return native.pack_segments(
+                plan.mem_s,
+                plan.seg_start[segs_slice],
+                plan.seg_count[segs_slice],
+                panel_id * plan.panel,
+                panel_pad // 8,
+                block,
+                n_blocks,
+                transpose,
+            )
+        except native.NativeRequiredError:
+            raise
+        except Exception as exc:
+            native.report_fallback("pack_segments", exc)
+    off, mem = _gather_side(plan, segs_slice)
+    return _pack_side(
+        off, mem - panel_id * plan.panel, n_blocks, block, panel_pad,
+        transpose,
+    )
 
 
 def _pad_limbs(wl: np.ndarray, n_blocks: int, block: int, transpose: bool):
@@ -474,12 +543,13 @@ def iter_panel_pairs(
         engine = "xla" if jax.default_backend() == "cpu" else "pallas"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if plan.max_weight_sum >= 2**31:
-        raise NotImplementedError(
-            "total kept k-mer weight >= 2**31; the on-device int32 combine "
-            "would overflow — shard the index (parallel/distributed.py) "
-            "before pairwise"
-        )
+    # Total kept weight >= 2**31: the on-device int32 limb combine would
+    # overflow, so extraction switches to per-limb D2H + int64 host
+    # recombination (the streamed analogue of the dense path's
+    # super-block int64 recombine, ops/pairwise.py).  Per-limb device
+    # accumulation across chunks stays exact: acc[l] <= 127 * colors and
+    # any pair with > _MAX_COLORS_PER_CALL colors is accumulated on host.
+    big_weights = plan.max_weight_sum >= 2**31
     n_limbs = plan.n_limbs
     if tile is None:
         from kspider_tpu.ops.pallas_pairwise import auto_tile
@@ -506,19 +576,19 @@ def iter_panel_pairs(
 
     def _side(panel_id, segs_slice, n_blocks, transpose):
         if cache.budget <= 0:
-            off, mem = _gather_side(plan, segs_slice)
-            return _pack_side(
-                off, mem - panel_id * plan.panel, n_blocks, block,
-                panel_pad, transpose,
+            return _pack_panel_side(
+                plan, panel_id, segs_slice, n_blocks, block, panel_pad,
+                transpose,
             )
         key = ("bits", panel_id, _segs_digest(segs_slice), n_blocks,
                transpose)
         hit = cache.lookup(key)
         if hit is not None:
             return hit
-        off, mem = _gather_side(plan, segs_slice)
-        mem = mem - panel_id * plan.panel
-        bits = _pack_side(off, mem, n_blocks, block, panel_pad, transpose)
+        bits = _pack_panel_side(
+            plan, panel_id, segs_slice, n_blocks, block, panel_pad,
+            transpose,
+        )
         arr = _put_device(bits)
         cache.put(key, arr, bits.nbytes)
         return arr
@@ -576,79 +646,162 @@ def iter_panel_pairs(
             chunks.append((bits_a, bits_b, wl))
         return pi, pj, chunks
 
+    def _chunk_acc(bits_a, bits_b, wl, diag: bool):
+        if engine == "pallas" and diag and panel_pad // tile > 1:
+            # symmetric panel: enumerate only the ti <= tj output tiles
+            # (~44% fewer MXU passes at 8 tiles/panel).  Strictly-lower
+            # tiles stay uninitialized — extraction masks diagonal pairs
+            # to row < col before any value escapes, so garbage there
+            # (even wrap-around in the limb recombine) is inert.
+            from kspider_tpu.ops.pallas_pairwise import (
+                cooccurrence_pallas_tri,
+                upper_triangle_tiles,
+            )
+
+            ti, tj = upper_triangle_tiles(panel_pad // tile)
+            return cooccurrence_pallas_tri(
+                bits_a, wl, ti, tj, block, panel_pad, n_limbs,
+                tile=tile, interpret=interpret,
+            )
+        if engine == "pallas":
+            from kspider_tpu.ops.pallas_pairwise import cooccurrence_pallas_rect
+
+            return cooccurrence_pallas_rect(
+                bits_a, bits_b, wl, block, panel_pad, panel_pad,
+                n_limbs, tile=tile, interpret=interpret,
+            )
+        if engine == "sharded":
+            return _gram_rect_sharded(bits_a, bits_b, wl, n_limbs, mesh)
+        return _gram_rect_xla(bits_a, bits_b, wl, block, n_limbs)
+
     def dispatch(chunks, diag: bool):
-        """Issue the async device calls; returns the un-synced accumulator."""
+        """Issue the async device calls; returns the un-synced accumulator.
+
+        Big-weight pairs spanning more than one super-block chunk could
+        overflow even the per-limb int32 sums across chunks (127 * colors
+        >= 2**31 needs > ~16.9M colors in ONE panel pair) — those
+        accumulate the combined tile on host in int64 instead."""
+        if big_weights and len(chunks) > 1:
+            tile = np.zeros((panel_pad, panel_pad), dtype=np.int64)
+            for bits_a, bits_b, wl in chunks:
+                acc = np.asarray(
+                    _chunk_acc(bits_a, bits_b, wl, diag)
+                ).astype(np.int64)
+                scale = 1
+                for l in range(n_limbs):
+                    tile += acc[l] * scale
+                    scale *= 128
+            return ("host", tile)
         acc_dev = None
         for bits_a, bits_b, wl in chunks:
-            if engine == "pallas" and diag and panel_pad // tile > 1:
-                # symmetric panel: enumerate only the ti <= tj output tiles
-                # (~44% fewer MXU passes at 8 tiles/panel).  Strictly-lower
-                # tiles stay uninitialized — _combine_extract masks diagonal
-                # pairs to row < col before any value escapes, so garbage
-                # there (even wrap-around in the limb recombine) is inert.
-                from kspider_tpu.ops.pallas_pairwise import (
-                    cooccurrence_pallas_tri,
-                    upper_triangle_tiles,
-                )
-
-                ti, tj = upper_triangle_tiles(panel_pad // tile)
-                acc = cooccurrence_pallas_tri(
-                    bits_a, wl, ti, tj, block, panel_pad, n_limbs,
-                    tile=tile, interpret=interpret,
-                )
-            elif engine == "pallas":
-                from kspider_tpu.ops.pallas_pairwise import cooccurrence_pallas_rect
-
-                acc = cooccurrence_pallas_rect(
-                    bits_a, bits_b, wl, block, panel_pad, panel_pad,
-                    n_limbs, tile=tile, interpret=interpret,
-                )
-            elif engine == "sharded":
-                acc = _gram_rect_sharded(bits_a, bits_b, wl, n_limbs, mesh)
-            else:
-                acc = _gram_rect_xla(bits_a, bits_b, wl, block, n_limbs)
+            acc = _chunk_acc(bits_a, bits_b, wl, diag)
             acc_dev = acc if acc_dev is None else _add(acc_dev, acc)
         return acc_dev
 
     def extract(pi: int, pj: int, acc_dev):
-        cap = cap0
-        while True:
-            idx, vals, count = _combine_extract(
-                acc_dev, jnp.int32(min_shared), cap, n_limbs, pi == pj
-            )
-            count = int(count)
-            if count <= cap:
-                break
-            while cap < count:
-                cap *= 4
-            cap = min(cap, panel_pad * panel_pad)
-        if count == 0:
-            return None
-        idx = np.asarray(idx[:count])
-        vals = np.asarray(vals[:count]).astype(np.int64)
+        diag = pi == pj
+        floor = max(1, min_shared)
+        if isinstance(acc_dev, tuple):  # host-accumulated int64 tile
+            tile = acc_dev[1]
+            if diag:
+                tile = np.triu(tile, 1)
+            idx = np.flatnonzero(tile >= floor)
+            if len(idx) == 0:
+                return None
+            vals = tile.ravel()[idx].astype(np.int64)
+        elif big_weights:
+            # per-limb sparsify on device, exact int64 recombine on host
+            cap = cap0
+            while True:
+                idx, lvals, count = _extract_limbs(acc_dev, cap, n_limbs,
+                                                   diag)
+                count = int(count)
+                if count <= cap:
+                    break
+                while cap < count:
+                    cap *= 4
+                cap = min(cap, panel_pad * panel_pad)
+            if count == 0:
+                return None
+            idx = np.asarray(idx[:count]).astype(np.int64)
+            lv = np.asarray(lvals[:, :count]).astype(np.int64)
+            vals = np.zeros(count, dtype=np.int64)
+            scale = 1
+            for l in range(n_limbs):
+                vals += lv[l] * scale
+                scale *= 128
+            keep = vals >= floor
+            idx, vals = idx[keep], vals[keep]
+            if len(idx) == 0:
+                return None
+        else:
+            cap = cap0
+            while True:
+                idx, vals, count = _combine_extract(
+                    acc_dev, jnp.int32(min_shared), cap, n_limbs, diag
+                )
+                count = int(count)
+                if count <= cap:
+                    break
+                while cap < count:
+                    cap *= 4
+                cap = min(cap, panel_pad * panel_pad)
+            if count == 0:
+                return None
+            idx = np.asarray(idx[:count]).astype(np.int64)
+            vals = np.asarray(vals[:count]).astype(np.int64)
         gi = pi * plan.panel + idx // panel_pad
         gj = pj * plan.panel + idx % panel_pad
         return gi.astype(np.int64), gj.astype(np.int64), vals
 
-    # 1-deep software pipeline: while the device runs pair p, the host
-    # packs pair p+1; the blocking D2H of p happens after p+1 is queued
+    # 2-deep software pipeline: a background thread packs pair p+1 (via
+    # the OpenMP native packer) while the main thread dispatches pair p
+    # to the device and extracts pair p-1 — so host packing, H2D+MXU,
+    # and the blocking D2H all overlap and the dispatch thread never
+    # waits on packing.  Per-stage times land in ``stats``.
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    t_pack = t_dispatch = t_extract = 0.0
+
+    def timed_prepare(p: int):
+        t0 = _time.perf_counter()
+        out = prepare(p)
+        return out, _time.perf_counter() - t0
+
+    n_pairs = len(plan.pair_keys)
     pending = None  # (pi, pj, acc_dev)
-    for p in range(len(plan.pair_keys)):
-        pi, pj, chunks = prepare(p)
-        acc_dev = dispatch(chunks, pi == pj)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(timed_prepare, 0) if n_pairs else None
+        for p in range(n_pairs):
+            (pi, pj, chunks), dt = fut.result()
+            t_pack += dt
+            if p + 1 < n_pairs:
+                fut = ex.submit(timed_prepare, p + 1)
+            t0 = _time.perf_counter()
+            acc_dev = dispatch(chunks, pi == pj)
+            t_dispatch += _time.perf_counter() - t0
+            if pending is not None:
+                t0 = _time.perf_counter()
+                out = extract(*pending)
+                t_extract += _time.perf_counter() - t0
+                if out is not None:
+                    yield pending[0], pending[1], *out
+            pending = (pi, pj, acc_dev)
         if pending is not None:
+            t0 = _time.perf_counter()
             out = extract(*pending)
+            t_extract += _time.perf_counter() - t0
             if out is not None:
                 yield pending[0], pending[1], *out
-        pending = (pi, pj, acc_dev)
-    if pending is not None:
-        out = extract(*pending)
-        if out is not None:
-            yield pending[0], pending[1], *out
+    finally:
+        ex.shutdown(wait=True, cancel_futures=True)
     if stats is not None:
         stats.update(
             cache_hits=cache.hits, cache_misses=cache.misses,
             cache_bytes=cache.nbytes,
+            t_pack=t_pack, t_dispatch=t_dispatch, t_extract=t_extract,
         )
 
 
@@ -662,13 +815,19 @@ def stream_pairwise_tsv(
     echo_progress: bool = False,
     mesh=None,
     cache_bytes: int = 0,
+    stats: Optional[dict] = None,
 ) -> int:
     """Compute pairwise at any N and stream `{p}_kSpider_pairwise.tsv`.
 
     Rows are emitted sorted by (source_1, source_2), matching the
     full-matrix writer (core/pairwise.py).  Returns the pair-row count.
     ``mesh`` shards each panel pair's colors across devices (psum merge).
+    Pass a dict as ``stats`` (or set ``echo_progress``) for the
+    per-stage breakdown: pack (host, overlapped), dispatch, extract
+    (device wait + D2H), tsv.
     """
+    import time as _time
+
     from kspider_tpu.core.pairwise import write_pairwise_rows_coo
 
     plan = build_panel_plan(
@@ -680,18 +839,20 @@ def stream_pairwise_tsv(
 
     total = 0
     first = True
-    cache_stats: dict = {}
+    t_tsv = 0.0
+    run_stats: dict = {} if stats is None else stats
     gen = iter_panel_pairs(
         plan, engine=engine, block=block, min_shared=min_shared, mesh=mesh,
-        cache_bytes=cache_bytes, stats=cache_stats,
+        cache_bytes=cache_bytes, stats=run_stats,
     )
     current_row = -1
     buf_i, buf_j, buf_v = [], [], []
 
     def flush():
-        nonlocal total, first
+        nonlocal total, first, t_tsv
         if not buf_i:
             return
+        t0 = _time.perf_counter()
         gi = np.concatenate(buf_i)
         gj = np.concatenate(buf_j)
         sv = np.concatenate(buf_v)
@@ -704,6 +865,7 @@ def stream_pairwise_tsv(
         buf_i.clear()
         buf_j.clear()
         buf_v.clear()
+        t_tsv += _time.perf_counter() - t0
 
     for pi, pj, gi, gj, vals in gen:
         if pi != current_row:
@@ -721,11 +883,20 @@ def stream_pairwise_tsv(
             np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.int64), counts, header=True,
         )
-    if echo_progress and cache_stats:
-        h, m = cache_stats["cache_hits"], cache_stats["cache_misses"]
+    run_stats["t_tsv"] = t_tsv
+    if echo_progress and "t_pack" in run_stats:
+        print(
+            f"  stage breakdown: pack {run_stats['t_pack']:.1f}s "
+            f"(overlapped) | dispatch {run_stats['t_dispatch']:.1f}s | "
+            f"extract (device wait + D2H) {run_stats['t_extract']:.1f}s | "
+            f"tsv {t_tsv:.1f}s",
+            flush=True,
+        )
+    if echo_progress and cache_bytes:
+        h, m = run_stats["cache_hits"], run_stats["cache_misses"]
         print(
             f"  device side-cache: {h} hits / {m} misses "
-            f"({cache_stats['cache_bytes'] / 1e6:.0f}MB resident)",
+            f"({run_stats['cache_bytes'] / 1e6:.0f}MB resident)",
             flush=True,
         )
     return total

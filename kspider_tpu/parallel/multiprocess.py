@@ -198,6 +198,7 @@ def run_distributed_pairwise(
     process_id: Optional[int] = None,
     echo_timers: bool = True,
     engine: str = "auto",
+    min_shared: int = 1,
 ) -> Optional[np.ndarray]:
     """Color-sliced multi-process pairwise over an existing index.
 
@@ -245,7 +246,9 @@ def run_distributed_pairwise(
 
     if pid == 0:
         core_pairwise.write_seq_to_kmers_tsv(prefix, index)
-        core_pairwise.write_pairwise_tsv(prefix, index, merged)
+        core_pairwise.write_pairwise_tsv(
+            prefix, index, merged, min_shared=min_shared
+        )
     barrier("pairwise-tsv")
     return merged
 
@@ -319,11 +322,15 @@ def run_distributed_tiled_pairwise(
     owner = assign_panel_rows(tp.panel_row_work(plan), nproc)
     my_rows = np.flatnonzero(owner == pid)
     sub = tp.filter_plan_rows(plan, my_rows)
-    # the part writer appends: clear any stale parts from a crashed run
-    for pi in my_rows:
-        part = _part_path(prefix, int(pi))
-        if os.path.exists(part):
+    # the part writer appends: process 0 clears ALL stale parts from any
+    # crashed run (a previous run with a smaller --panel can leave rows
+    # beyond this plan's n_panels), then everyone syncs before writing
+    if pid == 0:
+        import glob
+
+        for part in glob.glob(f"{prefix}_kSpider_pairwise.row*.part"):
             os.remove(part)
+    barrier("tiled-parts-clean")
     # explicit local engine: "auto" on a multi-device jax.distributed
     # backend would build a GLOBAL mesh and turn every panel pair into a
     # collective — each process's rows are independent by construction
@@ -430,18 +437,10 @@ def run_multiprocess_pairwise(
             num_processes=num_processes, process_id=process_id,
         )
         return
-    if min_shared != 1:
-        import warnings
-
-        warnings.warn(
-            "--min-shared only filters the panel-streamed engine; the "
-            "multi-process dense merge emits every shared pair",
-            RuntimeWarning,
-        )
     run_distributed_pairwise(
         prefix, index=index, use_tpu=use_tpu, engine=engine,
         coordinator=coordinator, num_processes=num_processes,
-        process_id=process_id,
+        process_id=process_id, min_shared=min_shared,
     )
 
 

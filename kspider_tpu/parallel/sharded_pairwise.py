@@ -63,7 +63,10 @@ def _device_body(bits, w_limbs, block: int, n_pad: int, n_limbs: int, axis=None)
     if axis is not None:
         # inside shard_map the carry must be marked varying over the mesh
         # axis to match the body output's vma type
-        acc0 = jax.lax.pvary(acc0, (axis,))
+        if hasattr(jax.lax, "pcast"):
+            acc0 = jax.lax.pcast(acc0, axis, to="varying")
+        else:  # older jax
+            acc0 = jax.lax.pvary(acc0, (axis,))
     acc, _ = jax.lax.scan(body, acc0, (bits, w_limbs))
     return acc
 

@@ -26,6 +26,10 @@
 
 extern "C" {
 
+// Bumped whenever an exported signature changes; io/native.py checks it
+// and rebuilds a stale .so instead of calling with a mismatched ABI.
+int ks_abi_version() { return 2; }
+
 // ---------------------------------------------------------------------------
 // memory
 // ---------------------------------------------------------------------------
@@ -401,6 +405,44 @@ void ks_pairwise_dense(const int64_t* offsets, const int32_t* members,
 
 int ks_omp_max_threads() { return omp_get_max_threads(); }
 
+// ---------------------------------------------------------------------------
+// Bitmask block packer — the native replacement of the np.bitwise_or.at
+// hot path (kspider_tpu/ops/bitmask.py) feeding the panel-streamed
+// engine.  Segment s (color s's postings within one panel) owns output
+// row (s / block, s % block); rows are disjoint per segment, so the
+// OpenMP split over segments is race-free by construction.  Layouts:
+//   transposed == 0: out[n_blocks][block][n8]  (XLA engine layout)
+//   transposed == 1: out[n_blocks][n8][block]  (Pallas kernel layout)
+// ``out`` must be zero-initialized by the caller (np.zeros).
+// ---------------------------------------------------------------------------
+
+void ks_pack_segments(const int32_t* mem_s, const int64_t* seg_start,
+                      const int64_t* seg_count, int64_t n_segs,
+                      int64_t panel_base, int64_t n8, int64_t block,
+                      int32_t transposed, uint8_t* out) {
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t s = 0; s < n_segs; s++) {
+        const int64_t blk = s / block, c = s % block;
+        const int32_t* m = mem_s + seg_start[s];
+        const int64_t cnt = seg_count[s];
+        if (!transposed) {
+            uint8_t* row = out + ((size_t)blk * (size_t)block + (size_t)c) * (size_t)n8;
+            for (int64_t i = 0; i < cnt; i++) {
+                const int64_t local = (int64_t)m[i] - panel_base;
+                row[local >> 3] |= (uint8_t)(0x80u >> (local & 7));
+            }
+        } else {
+            uint8_t* base =
+                out + (size_t)blk * (size_t)n8 * (size_t)block + (size_t)c;
+            for (int64_t i = 0; i < cnt; i++) {
+                const int64_t local = (int64_t)m[i] - panel_base;
+                base[(size_t)(local >> 3) * (size_t)block] |=
+                    (uint8_t)(0x80u >> (local & 7));
+            }
+        }
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -530,17 +572,18 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
 // ---------------------------------------------------------------------------
 
 int ks_write_pairwise_tsv(const char* path, const int64_t* s, int32_t n,
-                          const int64_t* kmer_counts) {
+                          const int64_t* kmer_counts, int64_t min_shared) {
     FILE* f = fopen(path, "wb");
     if (!f) return 1;
     setvbuf(f, nullptr, _IOFBF, 1 << 20);
     fputs("source_1\tsource_2\tshared_kmers\tmin_containment\tavg_containment\tmax_containment\n", f);
+    if (min_shared < 1) min_shared = 1;
     char buf[64];
     for (int32_t a = 0; a < n; a++) {
         const int64_t* row = s + (size_t)a * n;
         for (int32_t b = a + 1; b < n; b++) {
             int64_t shared = row[b];
-            if (shared <= 0) continue;
+            if (shared < min_shared) continue;
             float c12 = (float)shared / (float)kmer_counts[b];
             float c21 = (float)shared / (float)kmer_counts[a];
             float cmin = c12 < c21 ? c12 : c21;

@@ -233,8 +233,62 @@ def test_ani_missing_kmer_budget_file_errors(tmp_path):
         ani_model.write_ani_column(prefix, ksize=21, scale=1000)
 
 
-def test_multiprocess_rejects_tiled_engine(tmp_path):
-    from kspider_tpu.parallel import multiprocess as mp
+def test_ani_missing_id_flags_unreliable(tmp_path):
+    """Divergence from the reference (documented in PARITY.md): a pairwise
+    id missing from seqToKmersNo KeyErrors in the reference
+    (ks_pairwise.py:78-80); here the budget defaults to 0, which drives
+    p_nothing_in_common to 1.0 and flags the pair unreliable."""
+    from kspider_tpu.models import ani as ani_model
 
-    with pytest.raises(ValueError, match="single-process"):
-        mp.run_distributed_pairwise(str(tmp_path / "x"), engine="tiled")
+    prefix = str(tmp_path / "x")
+    with open(prefix + "_kSpider_pairwise.tsv", "w") as f:
+        f.write("h\n1\t3\t10\t0.5\t0.5\t0.5\n")  # id 3 has no budget row
+    with open(prefix + "_kSpider_seqToKmersNo.tsv", "w") as f:
+        f.write("ID\tseq\tkmers\n1\t1\t5000\n")
+
+    class _CaptureLogger:
+        def __init__(self):
+            self.warnings = []
+
+        def WARNING(self, msg):
+            self.warnings.append(msg)
+
+        def INFO(self, msg):
+            pass
+
+        def ERROR(self, msg):
+            raise AssertionError(msg)
+
+    log = _CaptureLogger()
+    out = ani_model.write_ani_column(prefix, 21, 1000, logger=log)
+    lines = open(out).read().splitlines()
+    assert len(lines) == 2  # header + the row: no crash
+    assert any("unreliable" in w for w in log.warnings)
+
+
+def test_ani_threads_warning(tmp_path):
+    """Reference parity (ks_pairwise.py:40-41): --estimate-ani with -t > 1
+    warns that ANI estimation is single-threaded."""
+    prefix = tmp_path / "w"
+    (tmp_path / "w_kSpider_pairwise.tsv").write_text(
+        "h\n1\t2\t100\t0.5\t0.6\t0.7\n"
+    )
+    (tmp_path / "w_kSpider_seqToKmersNo.tsv").write_text(
+        "ID\tseq\tkmers\n1\t1\t5000\n2\t2\t4000\n"
+    )
+    (tmp_path / "w.extra").write_text("21\n1\n1\nkSize:21\n")
+    r = _run_cli(
+        ["pairwise", "-i", str(prefix), "--estimate-ani", "-t", "4",
+         "-s", "1000"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "does not allow multithreading" in r.stderr
+    # single-threaded run stays silent
+    r1 = _run_cli(
+        ["pairwise", "-i", str(prefix), "--estimate-ani", "-t", "1",
+         "-s", "1000"],
+        cwd=tmp_path,
+    )
+    assert r1.returncode == 0, r1.stderr
+    assert "does not allow multithreading" not in r1.stderr

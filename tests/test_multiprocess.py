@@ -174,6 +174,74 @@ def test_tiled_two_process_matches_single_stream(tmp_path):
     ], "part files must be cleaned up"
 
 
+def test_multiprocess_rejects_tiled_engine(tmp_path):
+    from kspider_tpu.parallel import multiprocess as mp
+
+    with pytest.raises(ValueError, match="single-process"):
+        mp.run_distributed_pairwise(str(tmp_path / "x"), engine="tiled")
+
+
+def test_tiled_cleans_stale_parts_from_smaller_panel_runs(tmp_path):
+    """A crashed run with a smaller --panel (more panel rows) leaves
+    orphaned row parts beyond the new plan's n_panels; process 0 must
+    glob them all away, not just its owned rows."""
+    from kspider_tpu.parallel import multiprocess as mp
+
+    names, arrays = _dataset()
+    prefix = str(tmp_path / "stale")
+    index = build_index_from_hash_sets(names, arrays, ksize=21,
+                                       params="kSize:21")
+    artifacts_io.write_index_artifacts(prefix, index)
+    # orphan part from a hypothetical panel=2 run (rows far beyond panel=16)
+    orphan = mp._part_path(prefix, 37)
+    open(orphan, "w").write("stale\n")
+    mp.run_distributed_tiled_pairwise(
+        prefix, index=index, use_tpu=False, panel=16, block=128,
+        echo_timers=False,
+    )
+    assert not os.path.exists(orphan)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".part")]
+
+
+def test_dense_min_shared_filters_rows(tmp_path):
+    """--min-shared behaves identically on the dense writers (native and
+    pure-Python) and matches the tiled stream's device-side filter."""
+    from kspider_tpu.ops import tiled_pairwise as tp
+
+    rng = np.random.default_rng(7)
+    names = [f"s{i}" for i in range(9)]
+    arrays = [  # small hash space so samples genuinely overlap
+        np.unique(rng.integers(0, 4000, size=1500, dtype=np.uint64))
+        for _ in names
+    ]
+    index = build_index_from_hash_sets(names, arrays, ksize=21,
+                                       params="kSize:21")
+    shared = core_pairwise.compute_shared_matrix(index, use_tpu=False)
+    floor = int(np.median(shared[shared > 0])) if (shared > 0).any() else 1
+
+    dense_prefix = str(tmp_path / "dense")
+    core_pairwise.write_pairwise_tsv(dense_prefix, index, shared,
+                                     min_shared=floor)
+    dense = open(dense_prefix + "_kSpider_pairwise.tsv").read()
+    rows = dense.splitlines()[1:]
+    assert rows, "median floor should keep some rows"
+    assert all(int(r.split("\t")[2]) >= floor for r in rows)
+
+    py_prefix = str(tmp_path / "py")
+    os.environ["KSPIDER_NATIVE"] = "off"
+    try:
+        core_pairwise.write_pairwise_tsv(py_prefix, index, shared,
+                                         min_shared=floor)
+    finally:
+        del os.environ["KSPIDER_NATIVE"]
+    assert open(py_prefix + "_kSpider_pairwise.tsv").read() == dense
+
+    tiled_prefix = str(tmp_path / "tiled")
+    tp.stream_pairwise_tsv(index, tiled_prefix, panel=16, engine="xla",
+                           block=128, min_shared=floor)
+    assert open(tiled_prefix + "_kSpider_pairwise.tsv").read() == dense
+
+
 def test_assign_panel_rows_partition_and_balance():
     from kspider_tpu.parallel import multiprocess as mp
 

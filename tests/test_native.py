@@ -60,15 +60,15 @@ def test_native_tsv_matches_python(tmp_path, rng):
 
     native.write_pairwise_tsv(str(tmp_path / "nat.tsv"), shared, counts)
 
-    # python fallback path: bypass the native branch
-    import kspider_tpu.io.native as native_mod
+    # python fallback path: disable native outright (KSPIDER_NATIVE=off
+    # short-circuits before report_fallback, so no RuntimeWarning noise)
+    import os
 
-    orig = native_mod.available
-    native_mod.available = lambda: False
+    os.environ["KSPIDER_NATIVE"] = "off"
     try:
         core_pairwise.write_pairwise_tsv(str(tmp_path / "py"), idx, shared)
     finally:
-        native_mod.available = orig
+        del os.environ["KSPIDER_NATIVE"]
 
     nat = (tmp_path / "nat.tsv").read_text()
     py = (tmp_path / "py_kSpider_pairwise.tsv").read_text()

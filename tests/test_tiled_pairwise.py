@@ -128,6 +128,62 @@ def test_tiled_small_cap_regrow(rng):
     assert np.array_equal(s1, s2)
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_tiled_big_weights_exact(rng, engine):
+    """Total kept weight >= 2**31 (the r2 NotImplementedError case):
+    per-limb extraction + int64 host recombine keeps the stream exact."""
+    n = 700
+    o, m, w = random_csr(rng, 60, n, max_degree=12, max_weight=50)
+    w = w.astype(np.int64) * (1 << 27)  # total wdeg>=2 weight >> 2**31
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    assert plan.max_weight_sum >= 2**31
+    s1 = assemble(
+        tp.iter_panel_pairs(
+            plan, engine=engine, block=128, tile=128,
+            interpret=(engine == "pallas") or None,
+        ),
+        n,
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
+def test_tiled_big_weights_min_shared(rng):
+    n = 400
+    o, m, w = random_csr(rng, 50, n, max_degree=10, max_weight=40)
+    w = w.astype(np.int64) * (1 << 28)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    assert plan.max_weight_sum >= 2**31
+    thresh = int(3 << 28)
+    s = np.zeros((n, n), dtype=np.int64)
+    for _, _, gi, gj, vals in tp.iter_panel_pairs(
+        plan, engine="xla", block=128, tile=128, min_shared=thresh
+    ):
+        assert (vals >= thresh).all()
+        s[gi, gj] = vals
+    ref = np.triu(pw.shared_kmer_matrix_numpy(o, m, w, n), k=1)
+    ref[ref < thresh] = 0
+    assert np.array_equal(s, ref)
+
+
+def test_tiled_big_weights_multichunk_host_accumulate(rng, monkeypatch):
+    """A big-weight pair spanning multiple super-block chunks takes the
+    host int64 tile accumulation branch (per-limb int32 sums across
+    chunks could overflow); forced here by shrinking the super-block."""
+    monkeypatch.setattr(pw, "_MAX_COLORS_PER_CALL", 256)
+    n = 100
+    o, m, w = random_csr(rng, 600, n, max_degree=6, max_weight=30)
+    w = w.astype(np.int64) * (1 << 23)  # 600 colors * ~2**27 avg >= 2**31
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    assert plan.max_weight_sum >= 2**31
+    assert len(plan.ent_sega) > 256  # really spans >1 chunk
+    s1 = assemble(
+        tp.iter_panel_pairs(plan, engine="xla", block=128, tile=128), n
+    )
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+
+
 class _FakeIndex:
     def __init__(self, o, m, w, n, counts):
         self.color_offsets = o

@@ -531,12 +531,24 @@ def iter_panel_pairs(
     diagonal-dominated workloads it only occupies HBM); pass a dict as
     ``stats`` to receive hit/miss/resident-byte counters.
     """
+    devices = None
     if mesh is None and engine == "auto" and len(jax.devices()) > 1:
-        # all-device data parallelism over each pair's color blocks, same
-        # auto rule as ops.pairwise.shared_kmer_matrix
-        from kspider_tpu.parallel.mesh import make_mesh
+        if len(plan.pair_keys) >= 2 * len(jax.local_devices()) \
+                and cache_bytes <= 0:
+            # panel-pair data parallelism: independent pairs round-robin
+            # to local devices, results re-ordered to the plan order on
+            # the host — ZERO collectives, no psum, no replicated output
+            # tiles (the intra-host analogue of the multi-process layer's
+            # panel-row ownership).  Skipped when the device side-cache
+            # is on (cached arrays are committed to one placement).
+            devices = jax.local_devices()
+            engine = "xla" if jax.default_backend() == "cpu" else "pallas"
+        else:
+            # few pairs: shard each pair's color blocks over the mesh and
+            # psum instead, same auto rule as ops.pairwise
+            from kspider_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
+            mesh = make_mesh()
     if mesh is not None:
         engine = "sharded"
     elif engine == "auto":
@@ -754,12 +766,18 @@ def iter_panel_pairs(
         gj = pj * plan.panel + idx % panel_pad
         return gi.astype(np.int64), gj.astype(np.int64), vals
 
-    # 2-deep software pipeline: a background thread packs pair p+1 (via
-    # the OpenMP native packer) while the main thread dispatches pair p
-    # to the device and extracts pair p-1 — so host packing, H2D+MXU,
-    # and the blocking D2H all overlap and the dispatch thread never
-    # waits on packing.  Per-stage times land in ``stats``.
+    # Software pipeline: a background thread packs pair p+1 (via the
+    # OpenMP native packer) while the main thread dispatches pair p to a
+    # device and extracts the oldest in-flight pair — host packing,
+    # H2D+MXU, and the blocking D2H all overlap and the dispatch thread
+    # never waits on packing.  With ``devices`` (pair-parallel mode) the
+    # in-flight window widens to one pair per local device, dispatched
+    # round-robin; extraction order stays the plan order, so the
+    # downstream TSV stream is byte-identical to the single-device run.
+    # Per-stage times land in ``stats``.
+    import contextlib
     import time as _time
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     t_pack = t_dispatch = t_extract = 0.0
@@ -770,7 +788,8 @@ def iter_panel_pairs(
         return out, _time.perf_counter() - t0
 
     n_pairs = len(plan.pair_keys)
-    pending = None  # (pi, pj, acc_dev)
+    inflight = 1 if devices is None else len(devices)
+    pending = deque()  # (pi, pj, acc_dev), oldest first
     ex = ThreadPoolExecutor(max_workers=1)
     try:
         fut = ex.submit(timed_prepare, 0) if n_pairs else None
@@ -780,27 +799,35 @@ def iter_panel_pairs(
             if p + 1 < n_pairs:
                 fut = ex.submit(timed_prepare, p + 1)
             t0 = _time.perf_counter()
-            acc_dev = dispatch(chunks, pi == pj)
+            placement = (
+                jax.default_device(devices[p % len(devices)])
+                if devices is not None
+                else contextlib.nullcontext()
+            )
+            with placement:
+                acc_dev = dispatch(chunks, pi == pj)
             t_dispatch += _time.perf_counter() - t0
-            if pending is not None:
+            pending.append((pi, pj, acc_dev))
+            if len(pending) > inflight:
                 t0 = _time.perf_counter()
-                out = extract(*pending)
+                done = pending.popleft()
+                out = extract(*done)
                 t_extract += _time.perf_counter() - t0
                 if out is not None:
-                    yield pending[0], pending[1], *out
-            pending = (pi, pj, acc_dev)
-        if pending is not None:
+                    yield done[0], done[1], *out
+        while pending:
             t0 = _time.perf_counter()
-            out = extract(*pending)
+            done = pending.popleft()
+            out = extract(*done)
             t_extract += _time.perf_counter() - t0
             if out is not None:
-                yield pending[0], pending[1], *out
+                yield done[0], done[1], *out
     finally:
         ex.shutdown(wait=True, cancel_futures=True)
     if stats is not None:
         stats.update(
             cache_hits=cache.hits, cache_misses=cache.misses,
-            cache_bytes=cache.nbytes,
+            cache_bytes=cache.nbytes, n_devices=inflight,
             t_pack=t_pack, t_dispatch=t_dispatch, t_extract=t_extract,
         )
 

@@ -67,6 +67,39 @@ def test_tiled_auto_uses_mesh_on_multidevice(rng):
     assert np.array_equal(s1, s2)
 
 
+def test_tiled_pair_parallel_byte_identical_no_collectives(rng, tmp_path,
+                                                           monkeypatch):
+    """Panel-pair data parallelism (auto mode with many pairs on a
+    multi-device backend): independent pairs round-robin to the 8
+    virtual devices, ZERO per-pair collectives, and the streamed TSV is
+    byte-identical to the single-device stream."""
+    import jax
+
+    from kspider_tpu.ops import tiled_pairwise as tpmod
+
+    n = 2300  # 9 panels -> 45 candidate pairs >= 2 * 8 devices
+    o, m, w = random_csr(rng, 1500, n, max_degree=14, max_weight=40000)
+    counts = rng.integers(1, 100000, size=n).astype(np.int64)
+    idx = _FakeIndex(o, m, w, n, counts)
+
+    single_prefix = str(tmp_path / "single")
+    tp.stream_pairwise_tsv(idx, single_prefix, panel=256, engine="xla",
+                           block=128)
+
+    def _no_collectives(*a, **k):
+        raise AssertionError("pair-parallel mode must not psum")
+
+    monkeypatch.setattr(tpmod, "_gram_rect_sharded", _no_collectives)
+    stats = {}
+    par_prefix = str(tmp_path / "par")
+    tp.stream_pairwise_tsv(idx, par_prefix, panel=256, engine="auto",
+                           block=128, stats=stats)
+    assert stats["n_devices"] == len(jax.local_devices()) > 1
+    single = open(single_prefix + "_kSpider_pairwise.tsv", "rb").read()
+    par = open(par_prefix + "_kSpider_pairwise.tsv", "rb").read()
+    assert par == single
+
+
 def test_tiled_pallas_matches_numpy(rng):
     # Pallas engine in interpret mode (real TPUs compile this path):
     # multi-tile panels so diagonal pairs take the triangular kernel and

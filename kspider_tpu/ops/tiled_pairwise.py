@@ -27,6 +27,7 @@ accumulator below 2**31.
 """
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
@@ -806,6 +807,13 @@ def iter_panel_pairs(
             )
             with placement:
                 acc_dev = dispatch(chunks, pi == pj)
+            if os.environ.get("KSPIDER_SYNC_DISPATCH") and not isinstance(
+                acc_dev, tuple
+            ):
+                # measurement mode: make "dispatch" wall = H2D + MXU and
+                # "extract" wall = sparsify + D2H, at the cost of the
+                # pipeline overlap — for per-stage attribution only
+                jax.block_until_ready(acc_dev)
             t_dispatch += _time.perf_counter() - t0
             pending.append((pi, pj, acc_dev))
             if len(pending) > inflight:

@@ -36,6 +36,7 @@ WORKER = textwrap.dedent(
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
         sys.argv[5],
     )
+    panel = int(sys.argv[6]) if len(sys.argv) > 6 else 16
     coord = f"localhost:{{port}}"
     if mode == "hashrange":
         rng = np.random.default_rng(123)
@@ -50,7 +51,7 @@ WORKER = textwrap.dedent(
         )
     elif mode == "tiled":
         mp.run_distributed_tiled_pairwise(
-            prefix, use_tpu=False, panel=16, block=128,
+            prefix, use_tpu=False, panel=panel, block=128,
             coordinator=coord, num_processes=nproc, process_id=pid,
             echo_timers=False,
         )
@@ -80,7 +81,8 @@ def _dataset():
     return names, arrays
 
 
-def _spawn_workers(tmp_path, mode: str, prefix: str, nproc: int = 2):
+def _spawn_workers(tmp_path, mode: str, prefix: str, nproc: int = 2,
+                   panel: int = 16):
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=REPO))
     port = _free_port()
@@ -90,7 +92,7 @@ def _spawn_workers(tmp_path, mode: str, prefix: str, nproc: int = 2):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), mode, str(pid), str(nproc),
-             str(port), prefix],
+             str(port), prefix, str(panel)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=str(tmp_path),
         )
@@ -240,6 +242,52 @@ def test_dense_min_shared_filters_rows(tmp_path):
     tp.stream_pairwise_tsv(index, tiled_prefix, panel=16, engine="xla",
                            block=128, min_shared=floor)
     assert open(tiled_prefix + "_kSpider_pairwise.tsv").read() == dense
+
+
+def test_tiled_midsize_two_process_skewed(tmp_path):
+    """~2K samples / 2 real processes / tiled engine on a workload with
+    genuine skew (global colors spanning every panel + family-local
+    colors): exercises assign_panel_rows load balancing, part-file
+    concatenation order, and the int64-limb merge at a non-toy size.
+    Output must be byte-identical to the single-process stream."""
+    from kspider_tpu.ops import tiled_pairwise as tp
+
+    rng = np.random.default_rng(42)
+    n = 2048
+    names = [f"s{i}" for i in range(n)]
+    fam_pools = [
+        np.unique(rng.integers(0, 2**62, size=120, dtype=np.uint64))
+        for _ in range(64)
+    ]
+    glob = np.unique(rng.integers(0, 2**62, size=30, dtype=np.uint64))
+    arrays = []
+    for i in range(n):
+        pool = fam_pools[i // 32]
+        own = rng.integers(0, 2**62, size=25, dtype=np.uint64)
+        arrays.append(np.unique(np.concatenate([
+            pool[rng.random(len(pool)) < 0.8],
+            glob[rng.random(len(glob)) < 0.9],
+            own,
+        ])))
+    index = build_index_from_hash_sets(names, arrays, ksize=21,
+                                       params="kSize:21")
+    # skew sanity: some colors really span many panels
+    assert int(np.diff(index.color_offsets).max()) > 1000
+
+    golden_prefix = str(tmp_path / "golden")
+    tp.stream_pairwise_tsv(index, golden_prefix, panel=256, engine="xla",
+                           block=128)
+    core_pairwise.write_seq_to_kmers_tsv(golden_prefix, index)
+
+    dist_prefix = str(tmp_path / "dist")
+    artifacts_io.write_index_artifacts(dist_prefix, index)
+    _spawn_workers(tmp_path, "tiled", dist_prefix, nproc=2, panel=256)
+
+    for suffix in ("_kSpider_pairwise.tsv", "_kSpider_seqToKmersNo.tsv"):
+        golden = open(golden_prefix + suffix, "rb").read()
+        got = open(dist_prefix + suffix, "rb").read()
+        assert got == golden, suffix
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".part")]
 
 
 def test_assign_panel_rows_partition_and_balance():

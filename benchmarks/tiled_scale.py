@@ -47,7 +47,13 @@ def main():
                          "after pairwise, closing the pipeline loop")
     ap.add_argument("--newick", action="store_true",
                     help="also build the newick tree during export")
+    ap.add_argument("--device-pack", choices=["auto", "force", "off"],
+                    default=None, dest="device_pack",
+                    help="override KSPIDER_DEVICE_PACK for the run "
+                         "(posting-key H2D + on-device scatter pack)")
     args = ap.parse_args()
+    if args.device_pack is not None:
+        os.environ["KSPIDER_DEVICE_PACK"] = args.device_pack
 
     import jax
 

@@ -139,6 +139,39 @@ def main():
         if not ok:
             failures.append(name)
 
+    # ---- device-side packing (streamed engine's posting-key H2D path) ----
+    import os as _os
+
+    from kspider_tpu.ops import tiled_pairwise as tp
+
+    for name, n, panel, block, tile, max_weight in [
+        ("devpack-2limb", 1400, 512, 256, 256, 10_000),
+        ("devpack-3limb", 900, 256, 128, 128, 3_000_000),
+    ]:
+        offsets, members, weights = make_csr(rng, n, 5 * block, 30,
+                                             max_weight)
+        ref = pw.shared_kmer_matrix_numpy(offsets, members, weights, n)
+        plan = tp.build_panel_plan(offsets, members, weights, n, panel=panel)
+        _os.environ["KSPIDER_DEVICE_PACK"] = "force"
+        try:
+            stats = {}
+            t0 = time.perf_counter()
+            got = np.zeros((n, n), dtype=np.int64)
+            for _, _, gi, gj, vals in tp.iter_panel_pairs(
+                plan, engine="xla" if interpret else "pallas", block=block,
+                tile=tile, interpret=interpret, stats=stats,
+            ):
+                got[gi, gj] += vals
+                got[gj, gi] += vals
+            wall = time.perf_counter() - t0
+        finally:
+            del _os.environ["KSPIDER_DEVICE_PACK"]
+        ok = np.array_equal(got, ref) and stats["keys_sides"] > 0
+        print(f"{name:14s} n={n:5d} block={block:5d} tile={tile:5d} "
+              f"{wall:7.2f}s  {'OK' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            failures.append(name)
+
     # ---- XLA bitmask + scatter engines on the real backend ----------------
     for name, engine, n, block in [
         ("xla-bitmask", "bitmask", 900, 512),

@@ -445,6 +445,68 @@ def _pack_panel_side(
     )
 
 
+class _PostingsSide(tuple):
+    """Marker wrapper: a panel side shipped as sorted posting keys for
+    on-device packing (ops/bitmask.scatter_pack_device) instead of a
+    host-packed bitmask.  Fields: (keys i32[bucket], n_blocks)."""
+
+    __slots__ = ()
+
+
+def _resolve_device_pack(engine: str, mesh, cache_budget: int) -> str:
+    """Device-pack policy: ``KSPIDER_DEVICE_PACK`` = auto (default — ship
+    posting keys when they are at least ``KSPIDER_DEVICE_PACK_RATIO``
+    (default 4) times smaller than the packed bitmask), force, or off.
+    Disabled for the sharded engine (sides need a mesh layout) and when
+    the device side-cache holds host-packed arrays."""
+    policy = os.environ.get("KSPIDER_DEVICE_PACK", "auto").lower()
+    if policy not in ("auto", "force", "off"):
+        import warnings
+
+        warnings.warn(
+            f"KSPIDER_DEVICE_PACK={policy!r} not in auto/force/off; "
+            "using 'auto'",
+            RuntimeWarning,
+        )
+        policy = "auto"
+    if engine == "sharded" or mesh is not None or cache_budget > 0:
+        return "off"
+    return policy
+
+
+def _postings_keys(
+    plan: PanelPlan, panel_id: int, segs_slice: np.ndarray, panel_pad: int,
+    n_blocks: int, block: int,
+) -> Optional[np.ndarray]:
+    """Selected segments -> sorted unique i32 scatter keys, bucket-padded.
+
+    Key = local_segment_index * panel_pad + local_member; strictly
+    increasing because segments are positionally ordered and mem_s is
+    member-ascending within each segment.  Pad values are ascending
+    out-of-range bit positions (dropped on device).  Returns None when
+    the bit-position space would overflow int32 (caller falls back to
+    host packing)."""
+    cnt = plan.seg_count[segs_slice]
+    m = int(cnt.sum())
+    total_bits = n_blocks * block * panel_pad
+    bucket = max(512, 1 << (max(m, 1) - 1).bit_length())
+    if total_bits + bucket >= 2**31:
+        return None
+    off = np.zeros(len(segs_slice) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=off[1:])
+    idx = np.repeat(plan.seg_start[segs_slice], cnt) + (
+        np.arange(m) - np.repeat(off[:-1], cnt)
+    )
+    seg_local = np.repeat(np.arange(len(segs_slice), dtype=np.int64), cnt)
+    keys = seg_local * panel_pad + (
+        plan.mem_s[idx].astype(np.int64) - panel_id * plan.panel
+    )
+    out = np.empty(bucket, dtype=np.int32)
+    out[:m] = keys
+    out[m:] = total_bits + np.arange(bucket - m, dtype=np.int32)
+    return out
+
+
 def _pad_limbs(wl: np.ndarray, n_blocks: int, block: int, transpose: bool):
     n_limbs = wl.shape[1]
     out = np.zeros((n_blocks * block, n_limbs), dtype=np.int8)
@@ -572,6 +634,9 @@ def iter_panel_pairs(
     sup = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
 
     cache = _DeviceSideCache(cache_bytes)
+    dp_policy = _resolve_device_pack(engine, mesh, cache_bytes)
+    dp_ratio = float(os.environ.get("KSPIDER_DEVICE_PACK_RATIO", "4"))
+    xfer = dict(bits_bytes=0, keys_bytes=0, bits_sides=0, keys_sides=0)
 
     def _put_device(host_arr):
         """Move a packed host array to the device(s) eagerly so cache hits
@@ -589,10 +654,26 @@ def iter_panel_pairs(
 
     def _side(panel_id, segs_slice, n_blocks, transpose):
         if cache.budget <= 0:
-            return _pack_panel_side(
+            if dp_policy != "off":
+                bitmask_bytes = n_blocks * block * panel_pad // 8
+                m = int(plan.seg_count[segs_slice].sum())
+                keys_bytes = 4 * max(512, 1 << (max(m, 1) - 1).bit_length())
+                if dp_policy == "force" or keys_bytes * dp_ratio <= bitmask_bytes:
+                    keys = _postings_keys(
+                        plan, panel_id, segs_slice, panel_pad, n_blocks,
+                        block,
+                    )
+                    if keys is not None:
+                        xfer["keys_bytes"] += keys.nbytes
+                        xfer["keys_sides"] += 1
+                        return _PostingsSide((keys, n_blocks))
+            bits = _pack_panel_side(
                 plan, panel_id, segs_slice, n_blocks, block, panel_pad,
                 transpose,
             )
+            xfer["bits_bytes"] += bits.nbytes
+            xfer["bits_sides"] += 1
+            return bits
         key = ("bits", panel_id, _segs_digest(segs_slice), n_blocks,
                transpose)
         hit = cache.lookup(key)
@@ -660,6 +741,20 @@ def iter_panel_pairs(
         return pi, pj, chunks
 
     def _chunk_acc(bits_a, bits_b, wl, diag: bool):
+        # posting-key sides materialize here — i.e. on the dispatch
+        # thread, under the pair-parallel placement context, with the
+        # small key array crossing H2D instead of the packed bitmask
+        if isinstance(bits_a, _PostingsSide):
+            mat_a = bm.scatter_pack_device(
+                bits_a[0], bits_a[1], block, panel_pad, engine == "pallas"
+            )
+            if bits_b is bits_a:
+                bits_b = mat_a
+            bits_a = mat_a
+        if isinstance(bits_b, _PostingsSide):
+            bits_b = bm.scatter_pack_device(
+                bits_b[0], bits_b[1], block, panel_pad, engine == "pallas"
+            )
         if engine == "pallas" and diag and panel_pad // tile > 1:
             # symmetric panel: enumerate only the ti <= tj output tiles
             # (~44% fewer MXU passes at 8 tiles/panel).  Strictly-lower
@@ -837,6 +932,7 @@ def iter_panel_pairs(
             cache_hits=cache.hits, cache_misses=cache.misses,
             cache_bytes=cache.nbytes, n_devices=inflight,
             t_pack=t_pack, t_dispatch=t_dispatch, t_extract=t_extract,
+            **xfer,
         )
 
 
@@ -925,6 +1021,14 @@ def stream_pairwise_tsv(
             f"(overlapped) | dispatch {run_stats['t_dispatch']:.1f}s | "
             f"extract (device wait + D2H) {run_stats['t_extract']:.1f}s | "
             f"tsv {t_tsv:.1f}s",
+            flush=True,
+        )
+    if echo_progress and "bits_bytes" in run_stats:
+        print(
+            f"  side payload: {run_stats['bits_sides']} host-packed sides "
+            f"({run_stats['bits_bytes'] / 1e6:.0f}MB) + "
+            f"{run_stats['keys_sides']} device-packed sides "
+            f"({run_stats['keys_bytes'] / 1e6:.0f}MB posting keys)",
             flush=True,
         )
     if echo_progress and cache_bytes:

@@ -1,0 +1,153 @@
+"""Device-side bitmask packing (ops/bitmask.scatter_pack_device).
+
+The streamed engine can ship sorted posting keys (4 bytes per posting)
+instead of host-packed bitmask blocks (panel_pad/8 bytes per color) and
+rebuild the packed masks on device — the H2D-thrifty path for sparse
+panel sides.  These tests pin the scatter-built masks bit-for-bit
+against the host packer and the streamed output byte-for-byte against
+the host-pack policy, under every KSPIDER_DEVICE_PACK setting.
+"""
+
+import numpy as np
+import pytest
+
+from kspider_tpu.ops import bitmask as bm
+from kspider_tpu.ops import pairwise as pw
+from kspider_tpu.ops import tiled_pairwise as tp
+from tests.test_pairwise_ops import random_csr
+from tests.test_tiled_pairwise import assemble
+
+
+def keys_from_csr(offsets, members, panel_pad, n_blocks, block):
+    """Build scatter keys the way the plan does: segment-position-major,
+    member-ascending, bucket-padded with ascending out-of-range values."""
+    cnt = np.diff(offsets)
+    seg = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    keys = seg * panel_pad + np.asarray(members, dtype=np.int64)
+    m = len(keys)
+    bucket = max(512, 1 << (max(m, 1) - 1).bit_length())
+    out = np.empty(bucket, dtype=np.int32)
+    out[:m] = keys
+    out[m:] = n_blocks * block * panel_pad + np.arange(
+        bucket - m, dtype=np.int32
+    )
+    return out
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_scatter_pack_matches_host_packer(rng, transpose):
+    n, block, n_colors = 700, 128, 500
+    o, m, _ = random_csr(rng, n_colors, n, max_degree=60, max_weight=10)
+    # members ascending within each color (plan invariant)
+    for c in range(n_colors):
+        m[o[c]: o[c + 1]] = np.sort(m[o[c]: o[c + 1]])
+    panel_pad = 768
+    n_blocks = -(-n_colors // block)
+    host = bm.pack_bitmask_blocks(
+        np.concatenate([o, np.full(n_blocks * block - n_colors, o[-1])]),
+        m, panel_pad, block,
+    )
+    if transpose:
+        host = np.ascontiguousarray(host.transpose(0, 2, 1))
+    keys = keys_from_csr(o, m, panel_pad, n_blocks, block)
+    dev = np.asarray(
+        bm.scatter_pack_device(keys, n_blocks, block, panel_pad, transpose)
+    )
+    assert np.array_equal(dev, host)
+
+
+def test_scatter_pack_empty_side(rng):
+    keys = keys_from_csr(
+        np.zeros(2, np.int64), np.zeros(0, np.int64), 256, 1, 128
+    )
+    dev = np.asarray(bm.scatter_pack_device(keys, 1, 128, 256, False))
+    assert dev.shape == (1, 128, 32)
+    assert not dev.any()
+
+
+@pytest.mark.parametrize("policy", ["force", "auto", "off"])
+def test_tiled_stream_identical_under_device_pack(rng, monkeypatch, policy):
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", policy)
+    # low ratio so 'auto' actually flips some sides on this small workload
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK_RATIO", "1")
+    n = 1100
+    o, m, w = random_csr(rng, 900, n, max_degree=12, max_weight=40000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    stats: dict = {}
+    s = assemble(
+        tp.iter_panel_pairs(plan, engine="xla", block=128, tile=128,
+                            stats=stats),
+        n,
+    )
+    assert np.array_equal(s, pw.shared_kmer_matrix_numpy(o, m, w, n))
+    if policy == "force":
+        assert stats["keys_sides"] > 0 and stats["bits_sides"] == 0
+    elif policy == "off":
+        assert stats["keys_sides"] == 0 and stats["bits_sides"] > 0
+    else:
+        assert stats["keys_sides"] + stats["bits_sides"] > 0
+
+
+def test_tiled_pair_parallel_device_pack(rng, monkeypatch):
+    """Pair-parallel multi-device dispatch with posting-key sides: the
+    scatter materializes under each pair's placement context."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device virtual mesh")
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
+    n = 900
+    o, m, w = random_csr(rng, 700, n, max_degree=10, max_weight=500)
+    plan = tp.build_panel_plan(o, m, w, n, panel=128)
+    stats: dict = {}
+    s = assemble(
+        tp.iter_panel_pairs(plan, engine="auto", block=64, tile=128,
+                            stats=stats),
+        n,
+    )
+    assert stats["n_devices"] > 1
+    assert stats["keys_sides"] > 0
+    assert np.array_equal(s, pw.shared_kmer_matrix_numpy(o, m, w, n))
+
+
+def test_device_pack_big_weights_exact(rng, monkeypatch):
+    """The per-limb extraction path (total weight >= 2**31) composes with
+    device-packed sides."""
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
+    n = 300
+    o, m, w = random_csr(rng, 200, n, max_degree=8, max_weight=100)
+    w = w.astype(np.int64) * 30_000_000  # push total past 2**31
+    plan = tp.build_panel_plan(o, m, w, n, panel=128)
+    assert plan.max_weight_sum >= 2**31
+    s = assemble(
+        tp.iter_panel_pairs(plan, engine="xla", block=64, tile=128), n
+    )
+    assert np.array_equal(s, pw.shared_kmer_matrix_numpy(o, m, w, n))
+
+
+def test_policy_gates(monkeypatch):
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
+    assert tp._resolve_device_pack("xla", None, 0) == "force"
+    assert tp._resolve_device_pack("sharded", None, 0) == "off"
+    assert tp._resolve_device_pack("xla", object(), 0) == "off"
+    assert tp._resolve_device_pack("xla", None, 1 << 20) == "off"
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "bogus")
+    with pytest.warns(RuntimeWarning):
+        assert tp._resolve_device_pack("xla", None, 0) == "auto"
+
+
+def test_postings_keys_int32_overflow_guard():
+    plan = tp.PanelPlan(
+        n=8, panel=8, n_panels=1,
+        mem_s=np.arange(4, dtype=np.int32),
+        seg_start=np.array([0], np.int64), seg_count=np.array([4], np.int64),
+        seg_color=np.array([0], np.int64),
+        w_limbs=np.ones((1, 1), np.int8),
+        pair_keys=np.array([0], np.int64), pair_off=np.array([0, 1], np.int64),
+        ent_sega=np.array([0], np.int64), ent_segb=np.array([0], np.int64),
+        max_weight_sum=4,
+    )
+    # bit-position space too large for int32 -> caller must host-pack
+    assert tp._postings_keys(
+        plan, 0, np.array([0]), panel_pad=2**20, n_blocks=2**10, block=2**10
+    ) is None

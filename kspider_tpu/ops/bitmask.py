@@ -49,6 +49,69 @@ def pack_bitmask_blocks(
     return bits.reshape(num_blocks, block, n8)
 
 
+def device_pack_policy() -> Tuple[str, float]:
+    """(policy, ratio) from ``KSPIDER_DEVICE_PACK`` (auto/force/off,
+    default auto) and ``KSPIDER_DEVICE_PACK_RATIO`` (default 1.25 — ship
+    posting keys when their payload is at least this many times smaller
+    than the packed bitmask).  On-chip scatter-pack cost is negligible
+    (~1.5-10 ms per 128-block side, measured v5e), so the byte ratio is
+    the whole decision."""
+    import os
+    import warnings
+
+    policy = os.environ.get("KSPIDER_DEVICE_PACK", "auto").lower()
+    if policy not in ("auto", "force", "off"):
+        warnings.warn(
+            f"KSPIDER_DEVICE_PACK={policy!r} not in auto/force/off; "
+            "using 'auto'",
+            RuntimeWarning,
+        )
+        policy = "auto"
+    ratio = float(os.environ.get("KSPIDER_DEVICE_PACK_RATIO", "1.25"))
+    return policy, ratio
+
+
+def key_bucket(m: int) -> int:
+    """Padded key-array length for ``m`` postings (bounds jit retraces).
+
+    Quarter-octave buckets (4 sizes per power of two): <=25% pad waste —
+    the key payload is the whole point of the device-pack path — at ~4x
+    the compile-cache entries of plain power-of-two buckets."""
+    if m <= 512:
+        return 512
+    p = 1 << ((m - 1).bit_length() - 1)  # largest power of two < 2m
+    step = max(1, p // 4)
+    return -(-m // step) * step
+
+
+def build_scatter_keys(
+    offsets: np.ndarray, members: np.ndarray, n_pad: int, n_blocks: int,
+    block: int,
+) -> "np.ndarray | None":
+    """CSR colors -> sorted scatter keys for ``scatter_pack_device``.
+
+    Key = color * n_pad + member; pad values are ascending out-of-range
+    bit positions (dropped on device).  Returns None when the bit space
+    would overflow int32 or members are not strictly ascending within
+    each color (the scatter needs sorted unique indices) — callers fall
+    back to host packing."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    cnt = np.diff(offsets)
+    m = int(cnt.sum())
+    total_bits = n_blocks * block * n_pad
+    bucket = key_bucket(m)
+    if total_bits + bucket >= 2**31:
+        return None
+    cidx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    keys = cidx * n_pad + np.asarray(members, dtype=np.int64)
+    if len(keys) > 1 and not (keys[1:] > keys[:-1]).all():
+        return None
+    out = np.empty(bucket, dtype=np.int32)
+    out[:m] = keys
+    out[m:] = total_bits + np.arange(bucket - m, dtype=np.int32)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "block", "panel_pad", "transpose")
 )
@@ -81,9 +144,13 @@ def scatter_pack_device(
         .at[keys]
         .set(1, mode="drop", unique_indices=True, indices_are_sorted=True)
     )
-    a = flat.reshape(n_blocks, block, panel_pad // 8, 8)
-    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-    packed = (a.astype(jnp.int32) * weights).sum(-1).astype(jnp.uint8)
+    a = flat.reshape(n_blocks, block, panel_pad)
+    # byte-pack via 8 strided lane slices; a reshape to (..., pbytes, 8)
+    # would put the 8 on the 128-lane minor dim and pad it 16x in HBM
+    packed = jnp.zeros((n_blocks, block, panel_pad // 8), jnp.int32)
+    for j in range(8):
+        packed = packed + (a[..., j::8].astype(jnp.int32) << (7 - j))
+    packed = packed.astype(jnp.uint8)
     if transpose:
         packed = packed.transpose(0, 2, 1)
     return packed

@@ -436,19 +436,31 @@ def pack_inputs(
     w_limbs: np.ndarray,
     n_pad: int,
     block: int,
+    device_pack: bool = False,
 ):
-    """CSR colors -> transposed device inputs (bits_t, w_limbs_t)."""
+    """CSR colors -> transposed device inputs (bits_t, w_limbs_t).
+
+    With ``device_pack``, the first element may instead be the marker
+    tuple ``("keys", keys, nb)``: sorted posting keys for on-device
+    packing (``bm.scatter_pack_device(keys, nb, block, n_pad, True)``),
+    shipping 4 bytes per posting across H2D instead of n_pad/8 bytes per
+    color.  Falls back to host packing when the keys don't qualify
+    (int32 bit-space overflow or members unsorted within a color)."""
     from kspider_tpu.ops import bitmask as bm
 
-    bits = bm.pack_bitmask_blocks(offsets, members, n_pad, block)
-    bits_t = np.ascontiguousarray(bits.transpose(0, 2, 1))
-    nb = bits.shape[0]
+    nb = max(1, -(-(len(offsets) - 1) // block))
     n_limbs = w_limbs.shape[1]
     wl = np.zeros((nb * block, n_limbs), dtype=np.int8)
     wl[: len(w_limbs)] = w_limbs
     wl_t = np.ascontiguousarray(
         wl.reshape(nb, block, n_limbs).transpose(0, 2, 1)
     )
+    if device_pack:
+        keys = bm.build_scatter_keys(offsets, members, n_pad, nb, block)
+        if keys is not None:
+            return ("keys", keys, nb), wl_t
+    bits = bm.pack_bitmask_blocks(offsets, members, n_pad, block)
+    bits_t = np.ascontiguousarray(bits.transpose(0, 2, 1))
     return bits_t, wl_t
 
 
@@ -533,6 +545,10 @@ def shared_kmer_matrix_pallas(
 
     add = jax.jit(lambda x, y: x + y)
 
+    from kspider_tpu.ops import bitmask as bm
+
+    dp_policy, dp_ratio = bm.device_pack_policy()
+
     total = np.zeros((n_pad, n_pad), dtype=np.int64)
     super_size = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
     # within a superblock (int32-exact bound), stream pipeline chunks:
@@ -546,9 +562,20 @@ def shared_kmer_matrix_pallas(
             ce = min(cs + chunk_colors, stop)
             sl_off = new_offsets[cs : ce + 1] - new_offsets[cs]
             sl_mem = new_members[new_offsets[cs] : new_offsets[ce]]
-            bits_t, wl_t = pack_inputs(
-                sl_off, sl_mem, w_limbs[cs:ce], n_pad, block
+            nb_chunk = max(1, -(-(ce - cs) // block))
+            devpack = dp_policy == "force" or (
+                dp_policy == "auto"
+                and 4 * bm.key_bucket(len(sl_mem)) * dp_ratio
+                <= nb_chunk * block * n_pad // 8
             )
+            bits_t, wl_t = pack_inputs(
+                sl_off, sl_mem, w_limbs[cs:ce], n_pad, block,
+                device_pack=devpack,
+            )
+            if isinstance(bits_t, tuple):
+                bits_t = bm.scatter_pack_device(
+                    bits_t[1], bits_t[2], block, n_pad, True
+                )
             nt = n_pad // tile
             if use_sym:
                 acc = cooccurrence_pallas_sym(

@@ -454,21 +454,10 @@ class _PostingsSide(tuple):
 
 
 def _resolve_device_pack(engine: str, mesh, cache_budget: int) -> str:
-    """Device-pack policy: ``KSPIDER_DEVICE_PACK`` = auto (default — ship
-    posting keys when they are at least ``KSPIDER_DEVICE_PACK_RATIO``
-    (default 4) times smaller than the packed bitmask), force, or off.
-    Disabled for the sharded engine (sides need a mesh layout) and when
+    """Streamed-engine device-pack gate over ``bm.device_pack_policy``:
+    disabled for the sharded engine (sides need a mesh layout) and when
     the device side-cache holds host-packed arrays."""
-    policy = os.environ.get("KSPIDER_DEVICE_PACK", "auto").lower()
-    if policy not in ("auto", "force", "off"):
-        import warnings
-
-        warnings.warn(
-            f"KSPIDER_DEVICE_PACK={policy!r} not in auto/force/off; "
-            "using 'auto'",
-            RuntimeWarning,
-        )
-        policy = "auto"
+    policy, _ = bm.device_pack_policy()
     if engine == "sharded" or mesh is not None or cache_budget > 0:
         return "off"
     return policy
@@ -489,7 +478,7 @@ def _postings_keys(
     cnt = plan.seg_count[segs_slice]
     m = int(cnt.sum())
     total_bits = n_blocks * block * panel_pad
-    bucket = max(512, 1 << (max(m, 1) - 1).bit_length())
+    bucket = bm.key_bucket(m)
     if total_bits + bucket >= 2**31:
         return None
     off = np.zeros(len(segs_slice) + 1, dtype=np.int64)
@@ -593,6 +582,11 @@ def iter_panel_pairs(
     off-diagonal panel pairs re-select the same sides; on
     diagonal-dominated workloads it only occupies HBM); pass a dict as
     ``stats`` to receive hit/miss/resident-byte counters.
+
+    Side payload: sparse sides ship as sorted posting keys and are
+    scatter-packed on device (``KSPIDER_DEVICE_PACK`` /
+    ``KSPIDER_DEVICE_PACK_RATIO``, see ``_resolve_device_pack``); dense
+    sides stay host-packed via the native OpenMP packer.
     """
     devices = None
     if mesh is None and engine == "auto" and len(jax.devices()) > 1:
@@ -635,7 +629,7 @@ def iter_panel_pairs(
 
     cache = _DeviceSideCache(cache_bytes)
     dp_policy = _resolve_device_pack(engine, mesh, cache_bytes)
-    dp_ratio = float(os.environ.get("KSPIDER_DEVICE_PACK_RATIO", "4"))
+    dp_ratio = bm.device_pack_policy()[1]
     xfer = dict(bits_bytes=0, keys_bytes=0, bits_sides=0, keys_sides=0)
 
     def _put_device(host_arr):
@@ -657,7 +651,7 @@ def iter_panel_pairs(
             if dp_policy != "off":
                 bitmask_bytes = n_blocks * block * panel_pad // 8
                 m = int(plan.seg_count[segs_slice].sum())
-                keys_bytes = 4 * max(512, 1 << (max(m, 1) - 1).bit_length())
+                keys_bytes = 4 * bm.key_bucket(m)
                 if dp_policy == "force" or keys_bytes * dp_ratio <= bitmask_bytes:
                     keys = _postings_keys(
                         plan, panel_id, segs_slice, panel_pad, n_blocks,

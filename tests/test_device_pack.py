@@ -125,6 +125,40 @@ def test_device_pack_big_weights_exact(rng, monkeypatch):
     assert np.array_equal(s, pw.shared_kmer_matrix_numpy(o, m, w, n))
 
 
+@pytest.mark.parametrize("policy", ["force", "auto"])
+def test_dense_pallas_device_pack_exact(rng, monkeypatch, policy):
+    """The full-matrix pallas path also ships posting keys per chunk."""
+    from kspider_tpu.ops import pallas_pairwise as pp
+
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", policy)
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK_RATIO", "1")
+    n = 800
+    o, m, w = random_csr(rng, 1200, n, max_degree=15, max_weight=40000)
+    for c in range(1200):  # plan invariant: members ascending per color
+        m[o[c]: o[c + 1]] = np.sort(m[o[c]: o[c + 1]])
+    got = pp.shared_kmer_matrix_pallas(o, m, w, n, block=256)
+    assert np.array_equal(got, pw.shared_kmer_matrix_numpy(o, m, w, n))
+
+
+def test_dense_pallas_unsorted_members_fall_back(rng, monkeypatch):
+    """Unsorted members within a color disqualify the scatter keys; the
+    path must silently host-pack and stay exact."""
+    from kspider_tpu.ops import bitmask as bm
+    from kspider_tpu.ops import pallas_pairwise as pp
+
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
+    n = 400
+    o, m, w = random_csr(rng, 500, n, max_degree=10, max_weight=500)
+    # random_csr may or may not emit sorted members; force one inversion
+    c = int(np.flatnonzero(np.diff(o) >= 2)[0])
+    m[o[c]], m[o[c] + 1] = m[o[c] + 1].copy(), m[o[c]].copy()
+    if m[o[c]] == m[o[c] + 1]:
+        m[o[c] + 1] = (m[o[c] + 1] + 1) % n
+    assert bm.build_scatter_keys(o, m, 512, 4, 128) is None
+    got = pp.shared_kmer_matrix_pallas(o, m, w, n, block=128)
+    assert np.array_equal(got, pw.shared_kmer_matrix_numpy(o, m, w, n))
+
+
 def test_policy_gates(monkeypatch):
     monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
     assert tp._resolve_device_pack("xla", None, 0) == "force"

@@ -172,6 +172,28 @@ def main():
         if not ok:
             failures.append(name)
 
+    # dense full-matrix path with device-packed chunks
+    offsets, members, weights = make_csr(rng, 900, 5 * 256, 30, 10_000)
+    for c in range(5 * 256):
+        members[offsets[c]: offsets[c + 1]] = np.sort(
+            members[offsets[c]: offsets[c + 1]]
+        )
+    ref = pw.shared_kmer_matrix_numpy(offsets, members, weights, 900)
+    _os.environ["KSPIDER_DEVICE_PACK"] = "force"
+    try:
+        t0 = time.perf_counter()
+        got = pp.shared_kmer_matrix_pallas(
+            offsets, members, weights, 900, block=256, interpret=interpret
+        )
+        wall = time.perf_counter() - t0
+    finally:
+        del _os.environ["KSPIDER_DEVICE_PACK"]
+    ok = np.array_equal(got, ref)
+    print(f"{'devpack-dense':14s} n=  900 block=  256            "
+          f"{wall:7.2f}s  {'OK' if ok else 'MISMATCH'}", flush=True)
+    if not ok:
+        failures.append("devpack-dense")
+
     # ---- XLA bitmask + scatter engines on the real backend ----------------
     for name, engine, n, block in [
         ("xla-bitmask", "bitmask", 900, 512),

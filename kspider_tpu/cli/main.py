@@ -240,12 +240,15 @@ def _validate_names(log, names_file):
 @click.option("--engine", "engine", default="auto", show_default=True, type=click.Choice(["auto", "bitmask", "pallas", "scatter", "tiled"]), help="TPU co-occurrence engine variant (tiled = panel-streamed, any N)")
 @click.option("--panel", "panel", default=4096, show_default=True, type=int, help="sample-panel width for the tiled engine")
 @click.option("--min-shared", "min_shared", default=1, show_default=True, type=int, help="emit only pairs with at least this many shared k-mers (all engines)")
+@click.option("--device-pack", "device_pack", default=None, type=click.Choice(["auto", "force", "off"]), help="ship sparse panel sides as posting keys and build the bitmask on device (default: env KSPIDER_DEVICE_PACK or auto)")
 @click.option("--coordinator", "coordinator", default=None, type=click.STRING, help="jax.distributed coordinator address (host:port) for multi-process runs; or env KSPIDER_COORDINATOR")
 @click.option("--num-processes", "num_processes", default=None, type=int, help="total coordinated processes (multi-host); or env KSPIDER_NUM_PROCESSES")
 @click.option("--process-id", "process_id", default=None, type=int, help="this process's id in [0, num-processes); or env KSPIDER_PROCESS_ID")
 @click.pass_context
-def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine, panel, min_shared, coordinator, num_processes, process_id):
+def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine, panel, min_shared, device_pack, coordinator, num_processes, process_id):
     """Generate containment pairwise matrix."""
+    if device_pack is not None:
+        os.environ["KSPIDER_DEVICE_PACK"] = device_pack
     from kspider_tpu.core import pairwise as core_pairwise
     from kspider_tpu.models import ani as ani_model
     from kspider_tpu.parallel import multiprocess as mp

@@ -159,6 +159,35 @@ def test_dense_pallas_unsorted_members_fall_back(rng, monkeypatch):
     assert np.array_equal(got, pw.shared_kmer_matrix_numpy(o, m, w, n))
 
 
+def test_cli_device_pack_flag(tmp_path, rng):
+    """`pairwise --device-pack force/off` through the real CLI: identical
+    TSVs, flag accepted (the env-var path is covered above)."""
+    from kspider_tpu.core.index import build_index_from_hash_sets
+    from kspider_tpu.io import artifacts as artifacts_io
+    from tests.test_models_cli import _run_cli
+
+    names = [f"s{i}" for i in range(12)]
+    pool = np.unique(rng.integers(0, 2**62, size=4000, dtype=np.uint64))
+    sets = [
+        np.unique(np.concatenate([pool[:300], pool[rng.random(len(pool)) < 0.1]]))
+        for _ in names
+    ]
+    index = build_index_from_hash_sets(names, sets, ksize=21)
+    artifacts_io.write_index_artifacts(str(tmp_path / "idx"), index)
+
+    outs = {}
+    for policy in ("force", "off"):
+        r = _run_cli(
+            ["pairwise", "-i", "idx", "--engine", "tiled", "--panel", "8",
+             "--device-pack", policy, "--cpu"],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr
+        outs[policy] = (tmp_path / "idx_kSpider_pairwise.tsv").read_bytes()
+    assert outs["force"] == outs["off"]
+    assert outs["force"].count(b"\n") > 1
+
+
 def test_policy_gates(monkeypatch):
     monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
     assert tp._resolve_device_pack("xla", None, 0) == "force"

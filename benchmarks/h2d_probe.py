@@ -3,9 +3,17 @@
 The development tunnel's effective H2D rate may depend on payload
 compressibility (a compressing transport makes sparse bitmask blocks
 nearly free while high-entropy posting keys pay full fare), which
-inverts the device-pack byte-ratio logic on this host only.  Sends
-equal-sized buffers of different entropy through the same jit identity
-and times the round to a scalar sync.
+would invert the device-pack byte-ratio logic on this host only.
+Sends equal-sized buffers of different entropy through the same jit
+identity and times the round to a scalar sync.
+
+CAVEAT: the tunnel misreports async completion (CLAUDE.md), so
+block_until_ready can return before bytes actually moved — treat these
+rates as upper bounds and trust only end-to-end walls of runs that
+land real bytes back on host (the interleaved A/B in BASELINE.md).
+Measured 2026-08: ~1GB/s reported for every entropy class, i.e. no
+compression signal was observable and the device-pack byte-ratio
+stands.
 
     python benchmarks/h2d_probe.py [--mb 32]
 """

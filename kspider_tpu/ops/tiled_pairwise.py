@@ -445,6 +445,21 @@ def _pack_panel_side(
     )
 
 
+def _block_bucket(nb: int) -> int:
+    """Padded color-block count for a chunk (bounds kernel recompiles).
+
+    Exact for 1-4 blocks, then quarter-octave (4 sizes per power of
+    two): <=25% padded MXU passes, ~21 shapes to 128 blocks.  The old
+    power-of-two rule wasted up to 33% at the streamed engine's typical
+    5-6 real blocks per pair (padded to 8) and up to 94% just above its
+    32-block knee."""
+    if nb <= 4:
+        return max(1, nb)
+    p = 1 << ((nb - 1).bit_length() - 1)
+    step = max(1, p // 4)
+    return -(-nb // step) * step
+
+
 class _PostingsSide(tuple):
     """Marker wrapper: a panel side shipped as sorted posting keys for
     on-device packing (ops/bitmask.scatter_pack_device) instead of a
@@ -714,12 +729,7 @@ def iter_panel_pairs(
         for cs in range(0, m, sup):
             ce = min(cs + sup, m)
             n_real_blocks = _cdiv(ce - cs, block)
-            # bucket block counts to bound recompiles: powers of two up to
-            # 32, then multiples of 32 (caps pad waste at ~3% for big NB)
-            if n_real_blocks <= 32:
-                n_blocks = 1 << (n_real_blocks - 1).bit_length()
-            else:
-                n_blocks = 32 * _cdiv(n_real_blocks, 32)
+            n_blocks = _block_bucket(n_real_blocks)
             if mesh is not None:
                 n_dev = mesh.devices.size
                 n_blocks = _cdiv(n_blocks, n_dev) * n_dev

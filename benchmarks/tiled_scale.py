@@ -53,6 +53,8 @@ def main():
                          "(posting-key H2D + on-device scatter pack)")
     args = ap.parse_args()
     if args.device_pack is not None:
+        # process-scoped: this script is a standalone entrypoint, the
+        # override dies with the process (nothing imports main())
         os.environ["KSPIDER_DEVICE_PACK"] = args.device_pack
 
     import jax

@@ -248,7 +248,16 @@ def _validate_names(log, names_file):
 def pairwise(ctx, index_prefix, user_threads, ani, sourmash_scale, force_cpu, engine, panel, min_shared, device_pack, coordinator, num_processes, process_id):
     """Generate containment pairwise matrix."""
     if device_pack is not None:
+        # Scoped to this invocation: restore on context close so the flag
+        # doesn't leak into later in-process runs (click test runner,
+        # library embedders).
+        _prev = os.environ.get("KSPIDER_DEVICE_PACK")
         os.environ["KSPIDER_DEVICE_PACK"] = device_pack
+        ctx.call_on_close(
+            lambda: os.environ.update({"KSPIDER_DEVICE_PACK": _prev})
+            if _prev is not None
+            else os.environ.pop("KSPIDER_DEVICE_PACK", None)
+        )
     from kspider_tpu.core import pairwise as core_pairwise
     from kspider_tpu.models import ani as ani_model
     from kspider_tpu.parallel import multiprocess as mp
@@ -585,6 +594,15 @@ def repr_sketches(pairwise_tsv, threshold):
 
 
 def main():
+    # Honor an explicit JAX_PLATFORMS env var even when the container's
+    # sitecustomize pre-registered a backend programmatically (which
+    # outranks the env var): `JAX_PLATFORMS=cpu kspider ...` must mean
+    # cpu.  Must run before any jax backend initializes.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     cli()
 
 

@@ -67,7 +67,16 @@ def device_pack_policy() -> Tuple[str, float]:
             RuntimeWarning,
         )
         policy = "auto"
-    ratio = float(os.environ.get("KSPIDER_DEVICE_PACK_RATIO", "1.25"))
+    raw_ratio = os.environ.get("KSPIDER_DEVICE_PACK_RATIO", "1.25")
+    try:
+        ratio = float(raw_ratio)
+    except ValueError:
+        warnings.warn(
+            f"KSPIDER_DEVICE_PACK_RATIO={raw_ratio!r} is not a number; "
+            "using 1.25",
+            RuntimeWarning,
+        )
+        ratio = 1.25
     return policy, ratio
 
 

@@ -15,8 +15,11 @@ This module streams the Gram matrix panel-pair by panel-pair instead:
      bitmask blocks (only the two panels' columns) and the rectangular
      Pallas kernel accumulates S_IJ = A_I^T diag(w) A_J in VMEM.
   3. The weight limbs are recombined and the tile sparsified ON DEVICE
-     (``jnp.nonzero`` with a static capacity), so only nonzero pairs ever
-     cross HBM->host.  Host memory is O(nonzero pairs per panel row).
+     in two phases: mask+count first (one scalar D2H), then a
+     ``jnp.nonzero`` gather at a bucketed capacity sized to the actual
+     count — so the bytes crossing HBM->host are ~= the surviving rows,
+     not a worst-case static cap.  Host memory is O(nonzero pairs per
+     panel row).
   4. Rows stream to the pairwise TSV sorted by (source_1, source_2):
      iterating panel-row I over pairs (I, J>=I) covers every i<j pair
      with i in panel I exactly once.
@@ -330,45 +333,22 @@ def _gram_rect_sharded(bits_i, bits_j, wl, n_limbs: int, mesh):
     return _gram_rect_sharded_fn(mesh, n_limbs)(bits_i, bits_j, wl)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))
-def _extract_limbs(acc, cap: int, n_limbs: int, diag: bool):
-    """Sparsify WITHOUT recombining: per-limb values for host recombine.
+@functools.partial(jax.jit, static_argnames=("n_limbs", "diag"))
+def _combine_mask(acc, min_shared, n_limbs: int, diag: bool):
+    """Extract phase A: recombine weight limbs, mask, count — no D2H yet.
 
-    The big-weight path (total kept weight >= 2**31): the combined tile
-    would overflow int32 on device, but each limb plane is individually
-    exact (``acc[l] <= W / 128**l``... bounded by 127 * colors < 2**31),
-    so we extract the support (any limb nonzero) with per-limb int32
-    values and let the host recombine in int64 — the streamed analogue
-    of the dense path's super-block int64 recombination
-    (ops/pairwise.py shared_kmer_matrix).
+    acc i32[L, Pi, Pj] -> (flat masked tile i32[Pi*Pj] device-resident,
+    nonzero count scalar).  Values below ``min_shared`` are zeroed; for a
+    diagonal panel pair only the strict upper triangle survives.  Exact
+    while the true entry sum stays below 2**31 — partial sums of the
+    nonnegative limb terms are bounded by the true value; callers route
+    larger weight sums to ``_limb_mask``/``_gather_limbs``.
 
-    acc i32[L, Pi, Pj] -> (flat idx i32[cap], vals i32[L, cap], count).
-    min_shared filtering happens on host after recombination."""
-    pi, pj = acc.shape[1], acc.shape[2]
-    mask = jnp.any(acc != 0, axis=0)
-    if diag:
-        row = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 1)
-        mask = mask & (row < col)
-    flat_mask = mask.ravel()
-    count = flat_mask.sum()
-    (idx,) = jnp.nonzero(flat_mask, size=cap, fill_value=pi * pj)
-    safe = jnp.minimum(idx, pi * pj - 1)
-    vals = acc.reshape(n_limbs, pi * pj)[:, safe]
-    vals = jnp.where(idx[None, :] < pi * pj, vals, 0)
-    return idx.astype(jnp.int32), vals, count
-
-
-@functools.partial(jax.jit, static_argnames=("cap", "n_limbs", "diag"))
-def _combine_extract(acc, min_shared, cap: int, n_limbs: int, diag: bool):
-    """Recombine weight limbs and sparsify on device.
-
-    acc i32[L, Pi, Pj] -> (flat idx i32[cap], vals i32[cap], count).
-    Values below ``min_shared`` are dropped; for a diagonal panel pair only
-    the strict upper triangle survives.  Exact while the true entry sum
-    stays below 2**31 — partial sums of the nonnegative limb terms are
-    bounded by the true value; callers route larger weight sums to
-    ``_extract_limbs``."""
+    Two-phase extract: only the scalar count crosses D2H here; the host
+    then picks a bucketed capacity ~= count and ``_gather_nonzero`` ships
+    exactly that many entries — instead of a fixed worst-case ``cap``
+    payload per panel pair (the round-3 engine shipped >=2MB/pair even
+    when a pair had a handful of surviving rows)."""
     tile = acc[0]
     scale = 1
     for l in range(1, n_limbs):
@@ -382,11 +362,50 @@ def _combine_extract(acc, min_shared, cap: int, n_limbs: int, diag: bool):
         mask = mask & (row < col)
     flat = jnp.where(mask, tile, 0).ravel()
     count = (flat > 0).sum()
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=pi * pj)
-    vals = jnp.where(
-        idx < pi * pj, flat[jnp.minimum(idx, pi * pj - 1)], 0
-    )
-    return idx.astype(jnp.int32), vals, count
+    return flat, count
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _gather_nonzero(flat, cap: int):
+    """Extract phase B: gather the masked entries at a sized capacity.
+
+    flat i32[M] -> (idx i32[cap], vals i32[cap]); slots past the true
+    count hold fill (idx == M, vals 0) and are sliced off on host."""
+    m = flat.shape[0]
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=m)
+    vals = jnp.where(idx < m, flat[jnp.minimum(idx, m - 1)], 0)
+    return idx.astype(jnp.int32), vals
+
+
+@functools.partial(jax.jit, static_argnames=("diag",))
+def _limb_mask(acc, diag: bool):
+    """Phase A of the big-weight extract (total kept weight >= 2**31):
+    the combined tile would overflow int32 on device, but each limb plane
+    is individually exact, so the support mask (any limb nonzero) is
+    computed here and per-limb int32 values ship via ``_gather_limbs``
+    for int64 host recombination — the streamed analogue of the dense
+    path's super-block int64 recombine (ops/pairwise.py
+    shared_kmer_matrix).  min_shared filtering happens on host."""
+    pi, pj = acc.shape[1], acc.shape[2]
+    mask = jnp.any(acc != 0, axis=0)
+    if diag:
+        row = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (pi, pj), 1)
+        mask = mask & (row < col)
+    flat_mask = mask.ravel()
+    count = flat_mask.sum()
+    return flat_mask, count
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "n_limbs"))
+def _gather_limbs(acc, flat_mask, cap: int, n_limbs: int):
+    """Phase B of the big-weight extract: sized per-limb gather."""
+    m = acc.shape[1] * acc.shape[2]
+    (idx,) = jnp.nonzero(flat_mask, size=cap, fill_value=m)
+    safe = jnp.minimum(idx, m - 1)
+    vals = acc.reshape(n_limbs, m)[:, safe]
+    vals = jnp.where(idx[None, :] < m, vals, 0)
+    return idx.astype(jnp.int32), vals
 
 
 _add = jax.jit(lambda x, y: x + y)
@@ -488,8 +507,11 @@ def _postings_keys(
     increasing because segments are positionally ordered and mem_s is
     member-ascending within each segment.  Pad values are ascending
     out-of-range bit positions (dropped on device).  Returns None when
-    the bit-position space would overflow int32 (caller falls back to
-    host packing)."""
+    the bit-position space would overflow int32 or the keys are not
+    strictly increasing (a plan built from an external CSR with
+    duplicate (color, member) postings would make the scatter's
+    sorted/unique hints false) — callers fall back to host packing,
+    mirroring ``build_scatter_keys``."""
     cnt = plan.seg_count[segs_slice]
     m = int(cnt.sum())
     total_bits = n_blocks * block * panel_pad
@@ -505,6 +527,8 @@ def _postings_keys(
     keys = seg_local * panel_pad + (
         plan.mem_s[idx].astype(np.int64) - panel_id * plan.panel
     )
+    if len(keys) > 1 and not (keys[1:] > keys[:-1]).all():
+        return None
     out = np.empty(bucket, dtype=np.int32)
     out[:m] = keys
     out[m:] = total_bits + np.arange(bucket - m, dtype=np.int32)
@@ -581,7 +605,7 @@ def iter_panel_pairs(
     block: int = 1024,
     tile: Optional[int] = None,
     min_shared: int = 1,
-    cap0: int = 1 << 18,
+    cap0: int = 512,
     interpret: Optional[bool] = None,
     mesh=None,
     cache_bytes: int = 0,
@@ -810,33 +834,51 @@ def iter_panel_pairs(
             acc_dev = acc if acc_dev is None else _add(acc_dev, acc)
         return acc_dev
 
-    def extract(pi: int, pj: int, acc_dev):
+    def phase_a(acc_dev, diag: bool):
+        """Issue the (async) mask+count right after dispatch, so the
+        sparsify compute overlaps the next pair's pack/H2D and only the
+        sized gather remains when the pair is popped.  For the combine
+        path the L-limb accumulator is dropped here — pending holds the
+        single combined flat tile instead."""
+        if isinstance(acc_dev, tuple):  # host-accumulated int64 tile
+            return acc_dev
+        if big_weights:
+            flat_mask, cnt = _limb_mask(acc_dev, diag)
+            return ("limbs", acc_dev, flat_mask, cnt)
+        flat, cnt = _combine_mask(
+            acc_dev, jnp.int32(min_shared), n_limbs, diag
+        )
+        return ("combine", flat, cnt)
+
+    def _cap_bucket(count: int) -> int:
+        # quarter-octave bucket: D2H payload <= 1.25x the true count,
+        # bounded compile-cache entries; cap0 keeps the smallest shape
+        # from churning (and lets tests pin a tiny floor)
+        return min(max(bm.key_bucket(count), cap0), panel_pad * panel_pad)
+
+    def extract(pi: int, pj: int, handle):
         diag = pi == pj
         floor = max(1, min_shared)
-        if isinstance(acc_dev, tuple):  # host-accumulated int64 tile
-            tile = acc_dev[1]
+        if handle[0] == "host":  # host-accumulated int64 tile
+            tile = handle[1]
             if diag:
                 tile = np.triu(tile, 1)
             idx = np.flatnonzero(tile >= floor)
             if len(idx) == 0:
                 return None
             vals = tile.ravel()[idx].astype(np.int64)
-        elif big_weights:
-            # per-limb sparsify on device, exact int64 recombine on host
-            cap = cap0
-            while True:
-                idx, lvals, count = _extract_limbs(acc_dev, cap, n_limbs,
-                                                   diag)
-                count = int(count)
-                if count <= cap:
-                    break
-                while cap < count:
-                    cap *= 4
-                cap = min(cap, panel_pad * panel_pad)
+        elif handle[0] == "limbs":
+            # per-limb support on device, exact int64 recombine on host
+            _, acc_dev, flat_mask, cnt = handle
+            count = int(cnt)  # the only pre-gather D2H: one scalar
             if count == 0:
                 return None
-            idx = np.asarray(idx[:count]).astype(np.int64)
-            lv = np.asarray(lvals[:, :count]).astype(np.int64)
+            cap = _cap_bucket(count)
+            idx, lvals = _gather_limbs(acc_dev, flat_mask, cap, n_limbs)
+            # full-bucket D2H + host slice: no per-count device slicing
+            # (each distinct count would compile a fresh slice kernel)
+            idx = np.asarray(idx)[:count].astype(np.int64)
+            lv = np.asarray(lvals)[:, :count].astype(np.int64)
             vals = np.zeros(count, dtype=np.int64)
             scale = 1
             for l in range(n_limbs):
@@ -847,21 +889,14 @@ def iter_panel_pairs(
             if len(idx) == 0:
                 return None
         else:
-            cap = cap0
-            while True:
-                idx, vals, count = _combine_extract(
-                    acc_dev, jnp.int32(min_shared), cap, n_limbs, diag
-                )
-                count = int(count)
-                if count <= cap:
-                    break
-                while cap < count:
-                    cap *= 4
-                cap = min(cap, panel_pad * panel_pad)
+            _, flat, cnt = handle
+            count = int(cnt)
             if count == 0:
                 return None
-            idx = np.asarray(idx[:count]).astype(np.int64)
-            vals = np.asarray(vals[:count]).astype(np.int64)
+            cap = _cap_bucket(count)
+            idx, vals = _gather_nonzero(flat, cap)
+            idx = np.asarray(idx)[:count].astype(np.int64)
+            vals = np.asarray(vals)[:count].astype(np.int64)
         gi = pi * plan.panel + idx // panel_pad
         gj = pj * plan.panel + idx % panel_pad
         return gi.astype(np.int64), gj.astype(np.int64), vals
@@ -888,8 +923,11 @@ def iter_panel_pairs(
         return out, _time.perf_counter() - t0
 
     n_pairs = len(plan.pair_keys)
-    inflight = 1 if devices is None else len(devices)
-    pending = deque()  # (pi, pj, acc_dev), oldest first
+    # >=2-deep window even on one device: pair p's sized D2H overlaps
+    # pair p+1's H2D+MXU (round 3 ran depth 1 single-device, serializing
+    # extract behind dispatch)
+    inflight = 2 if devices is None else max(2, len(devices))
+    pending = deque()  # (pi, pj, phase-A handle), oldest first
     ex = ThreadPoolExecutor(max_workers=1)
     try:
         fut = ex.submit(timed_prepare, 0) if n_pairs else None
@@ -906,15 +944,16 @@ def iter_panel_pairs(
             )
             with placement:
                 acc_dev = dispatch(chunks, pi == pj)
-            if os.environ.get("KSPIDER_SYNC_DISPATCH") and not isinstance(
-                acc_dev, tuple
-            ):
-                # measurement mode: make "dispatch" wall = H2D + MXU and
-                # "extract" wall = sparsify + D2H, at the cost of the
-                # pipeline overlap — for per-stage attribution only
-                jax.block_until_ready(acc_dev)
+                if os.environ.get("KSPIDER_SYNC_DISPATCH") and not (
+                    isinstance(acc_dev, tuple)
+                ):
+                    # measurement mode: make "dispatch" wall = H2D + MXU
+                    # and "extract" wall = sparsify + D2H, at the cost of
+                    # the pipeline overlap — for per-stage attribution
+                    jax.block_until_ready(acc_dev)
+                handle = phase_a(acc_dev, pi == pj)
             t_dispatch += _time.perf_counter() - t0
-            pending.append((pi, pj, acc_dev))
+            pending.append((pi, pj, handle))
             if len(pending) > inflight:
                 t0 = _time.perf_counter()
                 done = pending.popleft()
@@ -1027,7 +1066,9 @@ def stream_pairwise_tsv(
             f"tsv {t_tsv:.1f}s",
             flush=True,
         )
-    if echo_progress and "bits_bytes" in run_stats:
+    if echo_progress and (
+        run_stats.get("bits_sides", 0) + run_stats.get("keys_sides", 0) > 0
+    ):
         print(
             f"  side payload: {run_stats['bits_sides']} host-packed sides "
             f"({run_stats['bits_bytes'] / 1e6:.0f}MB) + "

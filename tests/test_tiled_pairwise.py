@@ -149,7 +149,8 @@ def test_tiled_min_shared_threshold(rng):
 
 
 def test_tiled_small_cap_regrow(rng):
-    # force the nonzero capacity to grow: tiny cap0, dense-ish result
+    # tiny cap0 floor + dense-ish result: the two-phase extract must pick
+    # a gather capacity >= the true count on its own
     n = 300
     o, m, w = random_csr(rng, 600, n, max_degree=30, max_weight=50)
     plan = tp.build_panel_plan(o, m, w, n, panel=256)

@@ -47,6 +47,10 @@ def main():
                          "after pairwise, closing the pipeline loop")
     ap.add_argument("--newick", action="store_true",
                     help="also build the newick tree during export")
+    ap.add_argument("--device-build", action="store_true", dest="device_build",
+                    help="run the index build's postings sort/dedup/"
+                         "singleton filter on the accelerator "
+                         "(core.index.build_index_device)")
     ap.add_argument("--device-pack", choices=["auto", "force", "off"],
                     default=None, dest="device_pack",
                     help="override KSPIDER_DEVICE_PACK for the run "
@@ -64,7 +68,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from kspider_tpu.core import pairwise as core_pairwise
-    from kspider_tpu.core.index import build_index_from_hash_sets
+    from kspider_tpu.core.index import (
+        build_index_device,
+        build_index_from_hash_sets,
+    )
     from kspider_tpu.ops import pairwise as pw_ops
     from kspider_tpu.ops import tiled_pairwise as tp
 
@@ -84,10 +91,13 @@ def main():
           f"({total_postings} postings)", flush=True)
 
     t0 = time.perf_counter()
-    index = build_index_from_hash_sets(names, arrays, ksize=31)
+    builder = build_index_device if args.device_build else build_index_from_hash_sets
+    index = builder(names, arrays, ksize=31)
     t_index = time.perf_counter() - t0
+    backend = "device" if args.device_build else "host"
     print(f"index build:      {t_index:8.3f}s  colors={index.num_colors} "
-          f"({total_postings / t_index / 1e6:.1f}M postings/s)", flush=True)
+          f"({total_postings / t_index / 1e6:.1f}M postings/s, {backend})",
+          flush=True)
 
     degrees = np.diff(index.color_offsets)
     pair_updates = int((degrees.astype(np.int64) * (degrees - 1) // 2).sum())

@@ -39,17 +39,39 @@ def read_records(path) -> Iterator[Tuple[str, str]]:
                 else:
                     seq_parts.append(line.strip())
             yield name, "".join(seq_parts)
-        elif first == "@":  # FASTQ
+        elif first == "@":  # FASTQ — kseq-compatible: multi-line seq/qual
+            # (the reference parses via kmerDecoder/kseq, which accepts
+            # sequence and quality wrapped over multiple lines; quality
+            # ends when its length reaches the sequence length)
             header = f.readline().strip()  # rest of the first header line
             while True:
                 name = header.split()[0] if header else ""
-                seq = f.readline().strip()
-                f.readline()  # '+' separator
-                qual = f.readline()
-                if not seq:
+                seq_parts: List[str] = []
+                line = f.readline()
+                while line and not line.startswith("+"):
+                    seq_parts.append(line.strip())
+                    line = f.readline()
+                seq = "".join(seq_parts)
+                if not line:  # EOF before the '+' separator
+                    if seq:
+                        raise ValueError(
+                            f"truncated FASTQ record {name!r} (no '+' line)"
+                        )
                     break
+                qlen = 0
+                while qlen < len(seq):
+                    qline = f.readline()
+                    if not qline:
+                        raise ValueError(
+                            f"truncated FASTQ quality for record {name!r}"
+                        )
+                    qlen += len(qline.strip())
+                if qlen > len(seq):
+                    raise ValueError(f"malformed FASTQ near record {name!r}")
                 yield name, seq
                 line = f.readline()
+                while line and not line.strip():  # tolerate blank lines
+                    line = f.readline()
                 if not line:
                     break
                 if not line.startswith("@"):

@@ -83,7 +83,7 @@ _load_error: Optional[BaseException] = None
 #: bumped in lockstep with ks_abi_version() in native/src/kspider_native.cpp;
 #: a stale .so is rebuilt (make clean to force a fresh inode for dlopen)
 #: instead of being called with mismatched signatures
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def load_error() -> Optional[BaseException]:

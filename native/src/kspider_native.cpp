@@ -28,7 +28,7 @@ extern "C" {
 
 // Bumped whenever an exported signature changes; io/native.py checks it
 // and rebuilds a stale .so instead of calling with a mismatched ABI.
-int ks_abi_version() { return 2; }
+int ks_abi_version() { return 3; }
 
 // ---------------------------------------------------------------------------
 // memory
@@ -254,12 +254,36 @@ int sketch_stream(const char* path, int k, uint64_t max_hash,
         }
         hash_sequence_sourmash(seq, k, max_hash, hashes, total);
     } else if (!line.empty() && line[0] == '@') {  // FASTQ
+        // kseq-compatible (like the reference's kmerDecoder): sequence
+        // and quality may wrap over multiple lines; quality ends when
+        // its accumulated length reaches the sequence length.  Matches
+        // kspider_tpu/io/fastx.py read_records, including the error
+        // behavior (rc=3 -> IOError -> Python-parser fallback raises the
+        // same ValueError) — the old 4-line-record loop silently
+        // mis-parsed wrapped records.
         for (;;) {
-            if (!rd.getline(seq)) break;          // sequence line
+            seq.clear();
+            bool got_plus = false;
+            for (;;) {
+                if (!rd.getline(line)) break;     // EOF
+                if (!line.empty() && line[0] == '+') { got_plus = true; break; }
+                seq += line;
+            }
+            if (!got_plus) {
+                if (!seq.empty()) return 3;       // truncated: no '+' line
+                break;
+            }
+            size_t qlen = 0;
+            while (qlen < seq.size()) {
+                if (!rd.getline(line)) return 3;  // truncated quality
+                qlen += line.size();
+            }
+            if (qlen > seq.size()) return 3;      // quality overruns seq
             hash_sequence_sourmash(seq, k, max_hash, hashes, total);
-            if (!rd.getline(line)) break;         // '+'
-            if (!rd.getline(line)) break;         // quality
-            if (!rd.getline(line)) break;         // next '@header'
+            bool have;
+            while ((have = rd.getline(line)) && line.empty()) {}  // blanks
+            if (!have) break;
+            if (line[0] != '@') return 3;         // malformed record start
         }
     } else {
         return 2;

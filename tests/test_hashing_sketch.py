@@ -225,7 +225,8 @@ def test_fastx_formats(tmp_path, rng):
     assert recs == [("a", seq), ("b", "ACGT")]
 
     fq = tmp_path / "m.fq"
-    fq.write_text(f"@r1 x\n{seq}\n+\nq\n@r2\nACGT\n+\nq\n")
+    # kseq semantics: quality length must equal sequence length
+    fq.write_text(f"@r1 x\n{seq}\n+\n{'I' * 300}\n@r2\nACGT\n+\nIIII\n")
     recs = list(fastx.read_records(str(fq)))
     assert recs == [("r1", seq), ("r2", "ACGT")]
 

@@ -80,6 +80,27 @@ def _compact_multi_postings(hi, lo, gid):
     return hi_k, lo_k, gid_k, keep_count
 
 
+def _posting_bucket(m: int) -> int:
+    """Quarter-octave padded length for ``m`` postings.
+
+    Every dataset has a different posting count; without padding each
+    build compiles a fresh sort/scan program for its exact shape (minutes
+    over a remote-compile path, measured in benchmarks/index_build.py).
+    Buckets bound the compile-cache entries at <=25% pad waste."""
+    if m <= 4096:
+        return 4096
+    p = 1 << ((m - 1).bit_length() - 1)
+    step = max(1, p // 4)
+    return -(-m // step) * step
+
+
+#: pad sentinel: sorts after every real posting and forms a
+#: single-gid (= singleton) run, so the kernel filters it out and
+#: ``keep_count`` is unaffected.
+_PAD_HASH = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PAD_GID = np.int32(0x7FFFFFFF)
+
+
 def compact_multi_postings(
     hashes: np.ndarray, gids: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -89,11 +110,28 @@ def compact_multi_postings(
     gids = np.asarray(gids, dtype=np.int32)
     hi = (hashes >> np.uint64(32)).astype(np.uint32)
     lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pad = _posting_bucket(len(hashes)) - len(hashes)
+    if pad and not bool(np.any(hashes == _PAD_HASH)):
+        # a real hash equal to the sentinel would share its run and
+        # miscount it as multi-sample — fall back to the exact shape in
+        # that (astronomically rare, adversarial-input) case
+        hi = np.concatenate(
+            [hi, np.full(pad, 0xFFFFFFFF, dtype=np.uint32)]
+        )
+        lo = np.concatenate(
+            [lo, np.full(pad, 0xFFFFFFFF, dtype=np.uint32)]
+        )
+        gids_in = np.concatenate([gids, np.full(pad, _PAD_GID)])
+    else:
+        gids_in = gids
     hi_k, lo_k, gid_k, count = _compact_multi_postings(
-        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(gids)
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(gids_in)
     )
-    k = int(count)
-    hi_k = np.asarray(hi_k[:k]).astype(np.uint64)
-    lo_k = np.asarray(lo_k[:k]).astype(np.uint64)
+    k = int(count)  # the one scalar sync before the sized D2H
+    # device-slice at a bucketed length (shared compiles across counts),
+    # trim the <=25% overhang on host: D2H bytes track the kept postings
+    kb = min(_posting_bucket(max(k, 1)), hi_k.shape[0])
+    hi_k = np.asarray(hi_k[:kb])[:k].astype(np.uint64)
+    lo_k = np.asarray(lo_k[:kb])[:k].astype(np.uint64)
     out_hashes = (hi_k << np.uint64(32)) | lo_k
-    return out_hashes, np.asarray(gid_k[:k])
+    return out_hashes, np.asarray(gid_k[:kb])[:k].copy()

@@ -856,7 +856,11 @@ def iter_panel_pairs(
         # from churning (and lets tests pin a tiny floor)
         return min(max(bm.key_bucket(count), cap0), panel_pad * panel_pad)
 
+    x_stats = dict(t_x_sync=0.0, t_x_gather=0.0, t_x_fetch=0.0)
+
     def extract(pi: int, pj: int, handle):
+        import time as _t
+
         diag = pi == pj
         floor = max(1, min_shared)
         if handle[0] == "host":  # host-accumulated int64 tile
@@ -870,15 +874,21 @@ def iter_panel_pairs(
         elif handle[0] == "limbs":
             # per-limb support on device, exact int64 recombine on host
             _, acc_dev, flat_mask, cnt = handle
+            t0 = _t.perf_counter()
             count = int(cnt)  # the only pre-gather D2H: one scalar
+            x_stats["t_x_sync"] += _t.perf_counter() - t0
             if count == 0:
                 return None
             cap = _cap_bucket(count)
+            t0 = _t.perf_counter()
             idx, lvals = _gather_limbs(acc_dev, flat_mask, cap, n_limbs)
+            x_stats["t_x_gather"] += _t.perf_counter() - t0
             # full-bucket D2H + host slice: no per-count device slicing
             # (each distinct count would compile a fresh slice kernel)
+            t0 = _t.perf_counter()
             idx = np.asarray(idx)[:count].astype(np.int64)
             lv = np.asarray(lvals)[:, :count].astype(np.int64)
+            x_stats["t_x_fetch"] += _t.perf_counter() - t0
             vals = np.zeros(count, dtype=np.int64)
             scale = 1
             for l in range(n_limbs):
@@ -890,13 +900,19 @@ def iter_panel_pairs(
                 return None
         else:
             _, flat, cnt = handle
+            t0 = _t.perf_counter()
             count = int(cnt)
+            x_stats["t_x_sync"] += _t.perf_counter() - t0
             if count == 0:
                 return None
             cap = _cap_bucket(count)
+            t0 = _t.perf_counter()
             idx, vals = _gather_nonzero(flat, cap)
+            x_stats["t_x_gather"] += _t.perf_counter() - t0
+            t0 = _t.perf_counter()
             idx = np.asarray(idx)[:count].astype(np.int64)
             vals = np.asarray(vals)[:count].astype(np.int64)
+            x_stats["t_x_fetch"] += _t.perf_counter() - t0
         gi = pi * plan.panel + idx // panel_pad
         gj = pj * plan.panel + idx % panel_pad
         return gi.astype(np.int64), gj.astype(np.int64), vals
@@ -975,6 +991,7 @@ def iter_panel_pairs(
             cache_hits=cache.hits, cache_misses=cache.misses,
             cache_bytes=cache.nbytes, n_devices=inflight,
             t_pack=t_pack, t_dispatch=t_dispatch, t_extract=t_extract,
+            **x_stats,
             **xfer,
         )
 
@@ -1062,7 +1079,10 @@ def stream_pairwise_tsv(
         print(
             f"  stage breakdown: pack {run_stats['t_pack']:.1f}s "
             f"(overlapped) | dispatch {run_stats['t_dispatch']:.1f}s | "
-            f"extract (device wait + D2H) {run_stats['t_extract']:.1f}s | "
+            f"extract (device wait + D2H) {run_stats['t_extract']:.1f}s "
+            f"[count-sync {run_stats.get('t_x_sync', 0.0):.1f} "
+            f"gather {run_stats.get('t_x_gather', 0.0):.1f} "
+            f"fetch {run_stats.get('t_x_fetch', 0.0):.1f}] | "
             f"tsv {t_tsv:.1f}s",
             flush=True,
         )

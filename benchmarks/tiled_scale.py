@@ -119,6 +119,7 @@ def main():
         engine="xla" if args.cpu else "auto",
         min_shared=args.min_shared, echo_progress=True,
         cache_bytes=(2 << 30) if (args.use_cache and not args.no_cache) else 0,
+        plan=plan,
     )
     t_stream = time.perf_counter() - t0
     print(f"tiled pairwise:   {t_stream:8.3f}s  rows={n_rows} "

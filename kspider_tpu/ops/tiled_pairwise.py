@@ -78,7 +78,7 @@ def build_panel_plan(
 ) -> PanelPlan:
     """Decompose the color CSR into per-panel-pair work lists."""
     offsets = np.asarray(offsets, dtype=np.int64)
-    members = np.asarray(members, dtype=np.int64)
+    members = np.asarray(members)  # sample ids < n always fit int32
     weights = np.asarray(weights, dtype=np.int64)
     degrees = np.diff(offsets)
     keep = np.flatnonzero(degrees >= 2)
@@ -104,8 +104,8 @@ def build_panel_plan(
     gather = np.repeat(offsets[keep], kept_deg) + (
         np.arange(int(kept_deg.sum())) - np.repeat(new_off[:-1], kept_deg)
     )
-    mem = members[gather]
-    cid = np.repeat(np.arange(len(keep), dtype=np.int64), kept_deg)
+    mem = members[gather].astype(np.int32, copy=False)
+    cid = np.repeat(np.arange(len(keep), dtype=np.int32), kept_deg)
 
     # ColorIndex CSRs keep each class's members ascending, and cid is
     # nondecreasing by construction — when that holds (the common case)
@@ -116,30 +116,34 @@ def build_panel_plan(
     ) if len(mem) > 1 else False
     if unsorted_within:
         order = np.lexsort((mem, cid))
-        mem_s = mem[order].astype(np.int32)
+        mem_s = mem[order]
         cid_s = cid[order]
     else:
-        mem_s = mem.astype(np.int32)
+        mem_s = mem
         cid_s = cid
-    pan_s = mem_s.astype(np.int64) // panel
-    key = cid_s * n_panels + pan_s
+    pan_s = mem_s // np.int32(panel)
 
-    # key is globally nondecreasing (cid sorted, panel sorted within
-    # color), so segment boundaries come from one diff scan — no
-    # sort-based np.unique over the posting list
-    if len(key):
-        new_seg = np.empty(len(key), dtype=bool)
+    # (cid, pan) is globally nondecreasing lexicographically (cid
+    # sorted, panel sorted within color), so segment boundaries come
+    # from one diff scan per key — no sort-based np.unique over the
+    # posting list, and no materialized 8-byte combined key (the
+    # int64 cid*n_panels+pan array was ~8GB at 1B postings; the
+    # posting-scale arrays here stay int32)
+    if len(cid_s):
+        new_seg = np.empty(len(cid_s), dtype=bool)
         new_seg[0] = True
-        np.not_equal(key[1:], key[:-1], out=new_seg[1:])
+        np.not_equal(cid_s[1:], cid_s[:-1], out=new_seg[1:])
+        np.logical_or(new_seg[1:], pan_s[1:] != pan_s[:-1],
+                      out=new_seg[1:])
         seg_start = np.flatnonzero(new_seg)
-        seg_count = np.diff(np.append(seg_start, len(key)))
-        uniq = key[seg_start]
+        seg_count = np.diff(np.append(seg_start, len(cid_s)))
+        seg_color = cid_s[seg_start].astype(np.int64)
+        seg_panel = pan_s[seg_start]
     else:
         seg_start = np.zeros(0, np.int64)
         seg_count = np.zeros(0, np.int64)
-        uniq = np.zeros(0, np.int64)
-    seg_color = uniq // n_panels
-    seg_panel = (uniq % n_panels).astype(np.int32)
+        seg_color = np.zeros(0, np.int64)
+        seg_panel = np.zeros(0, np.int32)
 
     # per color: contiguous run of segments in `uniq` (seg_color is
     # nondecreasing, same scan trick)
@@ -1007,6 +1011,7 @@ def stream_pairwise_tsv(
     mesh=None,
     cache_bytes: int = 0,
     stats: Optional[dict] = None,
+    plan: Optional[PanelPlan] = None,
 ) -> int:
     """Compute pairwise at any N and stream `{p}_kSpider_pairwise.tsv`.
 
@@ -1015,16 +1020,24 @@ def stream_pairwise_tsv(
     ``mesh`` shards each panel pair's colors across devices (psum merge).
     Pass a dict as ``stats`` (or set ``echo_progress``) for the
     per-stage breakdown: pack (host, overlapped), dispatch, extract
-    (device wait + D2H), tsv.
+    (device wait + D2H), tsv.  ``plan`` reuses a prebuilt
+    :func:`build_panel_plan` result (its ``panel`` must match) — at 400K
+    samples the plan scan over 1B postings costs ~2.5 min, so callers
+    that already built one for load estimation must not pay it twice.
     """
     import time as _time
 
     from kspider_tpu.core.pairwise import write_pairwise_rows_coo
 
-    plan = build_panel_plan(
-        index.color_offsets, index.color_members, index.color_counts,
-        index.num_groups, panel,
-    )
+    if plan is None:
+        plan = build_panel_plan(
+            index.color_offsets, index.color_members, index.color_counts,
+            index.num_groups, panel,
+        )
+    elif plan.panel != panel:
+        raise ValueError(
+            f"prebuilt plan has panel={plan.panel}, called with panel={panel}"
+        )
     counts = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
     path = prefix + "_kSpider_pairwise.tsv"
 

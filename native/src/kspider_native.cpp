@@ -495,11 +495,62 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
         *n_classes_out = 0;
         return 0;
     }
-    // sort postings by (hash, gid)
+    // sort postings by (hash, gid).  A single std::sort over the pair
+    // vector was the dominant stage of the 400K-sample/1B-posting runs
+    // (491s, and the only serial O(n log n) step in the build): murmur
+    // hashes are uniform in the top byte, so a parallel 256-bucket
+    // radix partition followed by independent per-bucket sorts gives
+    // near-linear thread scaling and cache-sized sort ranges.
     std::vector<std::pair<uint64_t, int32_t>> p(n_postings);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n_postings; i++) p[i] = {hashes[i], gids[i]};
-    std::sort(p.begin(), p.end());
+    {
+        constexpr int NB = 256;
+        int nth = omp_get_max_threads();
+        if (n_postings >= ((int64_t)1 << 22) && nth > 1) {
+            const int64_t chunk = (n_postings + nth - 1) / nth;
+            std::vector<int64_t> cursor((size_t)nth * NB, 0);
+#pragma omp parallel num_threads(nth)
+            {
+                int t = omp_get_thread_num();
+                int64_t lo = (int64_t)t * chunk;
+                int64_t hi = std::min<int64_t>(n_postings, lo + chunk);
+                int64_t* h = &cursor[(size_t)t * NB];
+                for (int64_t i = lo; i < hi; i++) h[p[i].first >> 56]++;
+            }
+            // exclusive prefix over (bucket, thread): each thread gets a
+            // disjoint destination range per bucket
+            int64_t acc = 0;
+            std::vector<int64_t> boff(NB + 1, 0);
+            for (int b = 0; b < NB; b++) {
+                boff[b] = acc;
+                for (int t = 0; t < nth; t++) {
+                    int64_t c = cursor[(size_t)t * NB + b];
+                    cursor[(size_t)t * NB + b] = acc;
+                    acc += c;
+                }
+            }
+            boff[NB] = n_postings;
+            std::vector<std::pair<uint64_t, int32_t>> q(n_postings);
+#pragma omp parallel num_threads(nth)
+            {
+                int t = omp_get_thread_num();
+                int64_t lo = (int64_t)t * chunk;
+                int64_t hi = std::min<int64_t>(n_postings, lo + chunk);
+                int64_t* cur = &cursor[(size_t)t * NB];
+                for (int64_t i = lo; i < hi; i++)
+                    q[cur[p[i].first >> 56]++] = p[i];
+            }
+            p.swap(q);
+            q.clear();
+            q.shrink_to_fit();
+#pragma omp parallel for schedule(dynamic)
+            for (int b = 0; b < NB; b++)
+                std::sort(p.begin() + boff[b], p.begin() + boff[b + 1]);
+        } else {
+            std::sort(p.begin(), p.end());
+        }
+    }
     p.erase(std::unique(p.begin(), p.end()), p.end());
 
     // runs of equal hash -> member tuples; dedupe tuples via a hash map

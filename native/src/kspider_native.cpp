@@ -22,6 +22,7 @@
 #include <vector>
 
 #include <omp.h>
+#include <sys/mman.h>
 #include <zlib.h>
 
 extern "C" {
@@ -483,10 +484,21 @@ extern "C" {
 //   class_counts   i64[n_classes]
 // Classes are canonically ordered by (degree, members lexicographic).
 // Duplicate (hash, gid) pairs are deduplicated.
+static double _ks_now() { return omp_get_wtime(); }
+static bool _ks_timing() {
+    static int v = -1;
+    if (v < 0) v = getenv("KSPIDER_DEBUG_TIMING") ? 1 : 0;
+    return v == 1;
+}
+#define KS_T(label) do { if (_ks_timing()) { double t = _ks_now(); \
+    fprintf(stderr, "[ks_build_colors] %-10s %7.2fs\n", label, t - _t_prev); \
+    _t_prev = t; } } while (0)
+
 int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
                     int64_t n_postings, int64_t** class_offsets_out,
                     int32_t** class_members_out, int64_t** class_counts_out,
                     int64_t* n_classes_out) {
+    double _t_prev = _ks_now();
     if (n_postings == 0) {
         *class_offsets_out = (int64_t*)malloc(sizeof(int64_t));
         (*class_offsets_out)[0] = 0;
@@ -495,17 +507,35 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
         *n_classes_out = 0;
         return 0;
     }
-    // sort postings by (hash, gid).  A single std::sort over the pair
-    // vector was the dominant stage of the 400K-sample/1B-posting runs
-    // (491s, and the only serial O(n log n) step in the build): murmur
-    // hashes are uniform in the top byte, so a parallel 256-bucket
-    // radix partition followed by independent per-bucket sorts gives
-    // near-linear thread scaling and cache-sized sort ranges.
-    std::vector<std::pair<uint64_t, int32_t>> p(n_postings);
-#pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < n_postings; i++) p[i] = {hashes[i], gids[i]};
+    // sort postings by (hash, gid): parallel 256-bucket top-byte radix
+    // partition (murmur hashes are uniform in the high byte) followed
+    // by independent per-bucket sorts.  The bucket boundaries double as
+    // parallel work ranges for the class scan below — a run (equal
+    // hash) never crosses a bucket.
+    //
+    // Memory discipline matters more than algorithmics on this class of
+    // host: first-touch page faults run at ~0.3 GB/s on lazily-backed
+    // VMs (measured; steady-state is ~7 GB/s), so the build scatters
+    // straight from the caller's arrays into ONE uninitialized packed
+    // 12-byte buffer — no copy-in pass, no second partition buffer, no
+    // value-initialized vector (each of those was a multi-GB first
+    // touch costing more than the sort itself).
+    struct HG {
+        uint64_t h;
+        int32_t g;
+        bool operator<(const HG& o) const {
+            return h < o.h || (h == o.h && g < o.g);
+        }
+    } __attribute__((packed, aligned(4)));
+    static_assert(sizeof(HG) == 12, "HG must pack to 12 bytes");
+    HG* p = (HG*)malloc(sizeof(HG) * (size_t)n_postings);
+    if (!p) return 2;
+#ifdef MADV_HUGEPAGE
+    madvise(p, sizeof(HG) * (size_t)n_postings, MADV_HUGEPAGE);
+#endif
+    constexpr int NB = 256;
+    std::vector<int64_t> boff;  // bucket ranges for the parallel scan
     {
-        constexpr int NB = 256;
         int nth = omp_get_max_threads();
         if (n_postings >= ((int64_t)1 << 22) && nth > 1) {
             const int64_t chunk = (n_postings + nth - 1) / nth;
@@ -516,12 +546,12 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
                 int64_t lo = (int64_t)t * chunk;
                 int64_t hi = std::min<int64_t>(n_postings, lo + chunk);
                 int64_t* h = &cursor[(size_t)t * NB];
-                for (int64_t i = lo; i < hi; i++) h[p[i].first >> 56]++;
+                for (int64_t i = lo; i < hi; i++) h[hashes[i] >> 56]++;
             }
             // exclusive prefix over (bucket, thread): each thread gets a
             // disjoint destination range per bucket
             int64_t acc = 0;
-            std::vector<int64_t> boff(NB + 1, 0);
+            boff.assign(NB + 1, 0);
             for (int b = 0; b < NB; b++) {
                 boff[b] = acc;
                 for (int t = 0; t < nth; t++) {
@@ -531,7 +561,6 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
                 }
             }
             boff[NB] = n_postings;
-            std::vector<std::pair<uint64_t, int32_t>> q(n_postings);
 #pragma omp parallel num_threads(nth)
             {
                 int t = omp_get_thread_num();
@@ -539,101 +568,173 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
                 int64_t hi = std::min<int64_t>(n_postings, lo + chunk);
                 int64_t* cur = &cursor[(size_t)t * NB];
                 for (int64_t i = lo; i < hi; i++)
-                    q[cur[p[i].first >> 56]++] = p[i];
+                    p[cur[hashes[i] >> 56]++] = {hashes[i], gids[i]};
             }
-            p.swap(q);
-            q.clear();
-            q.shrink_to_fit();
+            KS_T("scatter");
 #pragma omp parallel for schedule(dynamic)
             for (int b = 0; b < NB; b++)
-                std::sort(p.begin() + boff[b], p.begin() + boff[b + 1]);
+                std::sort(p + boff[b], p + boff[b + 1]);
         } else {
-            std::sort(p.begin(), p.end());
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < n_postings; i++)
+                p[i] = {hashes[i], gids[i]};
+            std::sort(p, p + n_postings);
         }
     }
-    p.erase(std::unique(p.begin(), p.end()), p.end());
+    KS_T("sort");
+    if (boff.empty()) {  // serial-sort path: one scan range
+        boff.assign(2, 0);
+        boff[1] = n_postings;
+    }
 
-    // runs of equal hash -> member tuples; dedupe tuples via a hash map
-    // keyed by FNV over the member list, with exact verification chains.
-    struct Class {
-        std::vector<int32_t> members;
-        int64_t count = 0;
+    // runs of equal hash -> member tuples, deduped into classes.  The
+    // previous implementation walked the runs serially, heap-allocating
+    // a member vector per class and chaining through an
+    // unordered_multimap.  Phase timing at 251M postings split the old
+    // build's cost between first-touch faults on the fat buffers
+    // (copy-in 38s, double-buffer partition) and that serial scan; the
+    // rewrite removes both: a bucket-parallel scan emits per-thread
+    // flat member buffers + run records (duplicate (hash,gid) postings
+    // dropped inline, singletons tallied per gid without records),
+    // then ONE parallel sort of the run records by (degree, members
+    // lexicographic) groups identical member sets and yields the
+    // canonical class order directly.
+    const int n_ranges = (int)(boff.size() - 1);
+    int nth2 = omp_get_max_threads();
+    std::vector<std::vector<int32_t>> t_mm((size_t)nth2);
+    struct RunRec {
+        int64_t off;
+        int32_t len;
     };
-    std::vector<Class> classes;
-    // open-addressing map: key hash -> indices into classes
-    std::unordered_multimap<uint64_t, size_t> lookup;
-    lookup.reserve(p.size() / 2);
-
-    // singleton runs (one sample owns the hash) are the vast majority;
-    // count them per-gid without touching the class map
-    std::vector<int64_t> singleton_counts;
-    std::vector<int32_t> run;
-    size_t i = 0, n = p.size();
-    while (i < n) {
-        size_t j = i;
-        uint64_t h = p[i].first;
-        if (j + 1 >= n || p[j + 1].first != h) {  // singleton fast path
-            int32_t g = p[j].second;
-            if ((size_t)g >= singleton_counts.size())
-                singleton_counts.resize((size_t)g + 1, 0);
-            singleton_counts[(size_t)g]++;
-            i = j + 1;
-            continue;
-        }
-        run.clear();
-        while (j < n && p[j].first == h) run.push_back(p[j++].second);
-        // FNV-1a over the member ints
-        uint64_t key = 1469598103934665603ULL;
-        for (int32_t m : run) {
-            key ^= (uint64_t)(uint32_t)m;
-            key *= 1099511628211ULL;
-        }
-        key ^= run.size();
-        bool found = false;
-        auto range = lookup.equal_range(key);
-        for (auto it = range.first; it != range.second; ++it) {
-            if (classes[it->second].members == run) {
-                classes[it->second].count++;
-                found = true;
-                break;
+    std::vector<std::vector<RunRec>> t_rr((size_t)nth2);
+    std::vector<std::vector<int64_t>> t_single((size_t)nth2);
+#pragma omp parallel num_threads(nth2)
+    {
+        int t = omp_get_thread_num();
+        auto& mm = t_mm[(size_t)t];
+        auto& rr = t_rr[(size_t)t];
+        auto& singles = t_single[(size_t)t];
+#pragma omp for schedule(dynamic)
+        for (int b = 0; b < n_ranges; b++) {
+            int64_t i = boff[b];
+            const int64_t hi = boff[b + 1];
+            while (i < hi) {
+                const uint64_t h = p[i].h;
+                int64_t j = i;
+                const size_t start = mm.size();
+                int32_t prev = -1;
+                while (j < hi && p[j].h == h) {
+                    int32_t g = p[j].g;
+                    if (g != prev) {  // gid-sorted within run: dups adjacent
+                        mm.push_back(g);
+                        prev = g;
+                    }
+                    j++;
+                }
+                const size_t len = mm.size() - start;
+                if (len == 1) {
+                    if ((size_t)prev >= singles.size())
+                        singles.resize((size_t)prev + 1, 0);
+                    singles[(size_t)prev]++;
+                    mm.resize(start);
+                } else {
+                    rr.push_back({(int64_t)start, (int32_t)len});
+                }
+                i = j;
             }
         }
-        if (!found) {
-            lookup.emplace(key, classes.size());
-            classes.push_back({run, 1});
-        }
-        i = j;
+    }
+    free(p);
+    KS_T("scan");
+
+    // concatenate member buffers; rebase record offsets
+    std::vector<int64_t> mm_base((size_t)nth2 + 1, 0);
+    for (int t = 0; t < nth2; t++)
+        mm_base[(size_t)t + 1] = mm_base[(size_t)t] + (int64_t)t_mm[(size_t)t].size();
+    std::vector<int32_t> allmem((size_t)mm_base[(size_t)nth2]);
+    int64_t n_recs = 0;
+    for (int t = 0; t < nth2; t++) n_recs += (int64_t)t_rr[(size_t)t].size();
+    std::vector<RunRec> recs;
+    recs.reserve((size_t)n_recs);
+#pragma omp parallel for schedule(static)
+    for (int t = 0; t < nth2; t++) {
+        memcpy(allmem.data() + mm_base[(size_t)t], t_mm[(size_t)t].data(),
+               t_mm[(size_t)t].size() * sizeof(int32_t));
+    }
+    for (int t = 0; t < nth2; t++) {
+        for (auto& r : t_rr[(size_t)t])
+            recs.push_back({r.off + mm_base[(size_t)t], r.len});
+        t_rr[(size_t)t].clear();
+        t_rr[(size_t)t].shrink_to_fit();
+        t_mm[(size_t)t].clear();
+        t_mm[(size_t)t].shrink_to_fit();
     }
 
-    // fold the singleton tallies into classes
-    for (size_t g = 0; g < singleton_counts.size(); g++) {
-        if (singleton_counts[g])
-            classes.push_back({{(int32_t)g}, singleton_counts[g]});
-    }
-
-    // canonical order: (degree, members lexicographic)
-    std::vector<size_t> order(classes.size());
-    for (size_t k = 0; k < order.size(); k++) order[k] = k;
-    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
-        if (classes[a].members.size() != classes[b].members.size())
-            return classes[a].members.size() < classes[b].members.size();
-        return classes[a].members < classes[b].members;
+    KS_T("concat");
+    // canonical order: (degree, members lexicographic) — parallel via
+    // _GLIBCXX_PARALLEL; grouping falls out of adjacency
+    const int32_t* am = allmem.data();
+    std::sort(recs.begin(), recs.end(), [am](const RunRec& a, const RunRec& b) {
+        if (a.len != b.len) return a.len < b.len;
+        const int32_t* pa = am + a.off;
+        const int32_t* pb = am + b.off;
+        for (int32_t k = 0; k < a.len; k++)
+            if (pa[k] != pb[k]) return pa[k] < pb[k];
+        return false;
     });
 
-    int64_t n_classes = (int64_t)classes.size();
-    int64_t total_members = 0;
-    for (auto& c : classes) total_members += (int64_t)c.members.size();
+    KS_T("class-sort");
+    // fold per-thread singleton tallies
+    size_t max_g = 0;
+    for (auto& s : t_single) max_g = std::max(max_g, s.size());
+    std::vector<int64_t> singleton_counts(max_g, 0);
+    for (auto& s : t_single)
+        for (size_t g = 0; g < s.size(); g++) singleton_counts[g] += s[g];
+
+    // count classes + members: singletons (all degree 1, gid ascending)
+    // come first in canonical order, then grouped multi records
+    int64_t n_single_classes = 0;
+    for (size_t g = 0; g < max_g; g++)
+        if (singleton_counts[g]) n_single_classes++;
+    auto same_rec = [am](const RunRec& a, const RunRec& b) {
+        if (a.len != b.len) return false;
+        return memcmp(am + a.off, am + b.off,
+                      (size_t)a.len * sizeof(int32_t)) == 0;
+    };
+    int64_t n_multi_classes = 0, multi_members = 0;
+    for (int64_t k = 0; k < n_recs; k++) {
+        if (k == 0 || !same_rec(recs[(size_t)k - 1], recs[(size_t)k])) {
+            n_multi_classes++;
+            multi_members += recs[(size_t)k].len;
+        }
+    }
+    const int64_t n_classes = n_single_classes + n_multi_classes;
+    const int64_t total_members = n_single_classes + multi_members;
     auto* offs = (int64_t*)malloc(sizeof(int64_t) * (n_classes + 1));
     auto* mems = (int32_t*)malloc(sizeof(int32_t) * std::max<int64_t>(1, total_members));
     auto* counts = (int64_t*)malloc(sizeof(int64_t) * std::max<int64_t>(1, n_classes));
     offs[0] = 0;
-    for (int64_t k = 0; k < n_classes; k++) {
-        const Class& c = classes[order[k]];
-        offs[k + 1] = offs[k] + (int64_t)c.members.size();
-        memcpy(mems + offs[k], c.members.data(),
-               c.members.size() * sizeof(int32_t));
-        counts[k] = c.count;
+    int64_t k_out = 0;
+    for (size_t g = 0; g < max_g; g++) {
+        if (!singleton_counts[g]) continue;
+        offs[k_out + 1] = offs[k_out] + 1;
+        mems[offs[k_out]] = (int32_t)g;
+        counts[k_out] = singleton_counts[g];
+        k_out++;
     }
+    for (int64_t k = 0; k < n_recs; k++) {
+        if (k > 0 && same_rec(recs[(size_t)k - 1], recs[(size_t)k])) {
+            counts[k_out - 1]++;
+            continue;
+        }
+        const RunRec& r = recs[(size_t)k];
+        offs[k_out + 1] = offs[k_out] + r.len;
+        memcpy(mems + offs[k_out], am + r.off,
+               (size_t)r.len * sizeof(int32_t));
+        counts[k_out] = 1;
+        k_out++;
+    }
+    KS_T("emit");
     *class_offsets_out = offs;
     *class_members_out = mems;
     *class_counts_out = counts;

@@ -98,38 +98,36 @@ def build_panel_plan(
     if len(keep) == 0 or n == 0:
         return empty
 
-    kept_deg = degrees[keep]
-    new_off = np.zeros(len(keep) + 1, dtype=np.int64)
-    np.cumsum(kept_deg, out=new_off[1:])
-    gather = np.repeat(offsets[keep], kept_deg) + (
-        np.arange(int(kept_deg.sum())) - np.repeat(new_off[:-1], kept_deg)
+    # ColorIndex CSRs keep each class's members ascending — when that
+    # holds (the common case) segments are computed DIRECTLY on the
+    # full posting array: color boundaries are the CSR offsets
+    # themselves, segments of degree<2 colors are dropped at segment
+    # scale, and mem_s aliases the caller's members array.  Zero
+    # posting-scale temporaries beyond one panel-id array — the
+    # previous gather/repeat/arange path materialized ~28 GB of fresh
+    # allocations at 1B postings, and first-touch page faults on this
+    # class of host run at ~0.3 GB/s (CLAUDE.md), so allocation count,
+    # not FLOPs, dominated the plan build.
+    viol = (np.flatnonzero(members[1:] < members[:-1]) + 1
+            if len(members) > 1 else np.zeros(0, np.int64))
+    unsorted_within = bool(len(viol)) and not bool(
+        np.isin(viol, offsets[1:-1]).all()
     )
-    mem = members[gather].astype(np.int32, copy=False)
-    cid = np.repeat(np.arange(len(keep), dtype=np.int32), kept_deg)
-
-    # ColorIndex CSRs keep each class's members ascending, and cid is
-    # nondecreasing by construction — when that holds (the common case)
-    # the 2-key sort over all postings is a no-op; only arbitrary CSRs
-    # (tests, external callers) pay for it.
-    unsorted_within = bool(
-        np.any((mem[1:] < mem[:-1]) & (cid[1:] == cid[:-1]))
-    ) if len(mem) > 1 else False
     if unsorted_within:
+        # rare path (tests, external CSRs): compact to kept postings
+        # and 2-key sort as before
+        kept_deg = degrees[keep]
+        new_off = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(kept_deg, out=new_off[1:])
+        gather = np.repeat(offsets[keep], kept_deg) + (
+            np.arange(int(kept_deg.sum())) - np.repeat(new_off[:-1], kept_deg)
+        )
+        mem = members[gather].astype(np.int32, copy=False)
+        cid = np.repeat(np.arange(len(keep), dtype=np.int32), kept_deg)
         order = np.lexsort((mem, cid))
         mem_s = mem[order]
         cid_s = cid[order]
-    else:
-        mem_s = mem
-        cid_s = cid
-    pan_s = mem_s // np.int32(panel)
-
-    # (cid, pan) is globally nondecreasing lexicographically (cid
-    # sorted, panel sorted within color), so segment boundaries come
-    # from one diff scan per key — no sort-based np.unique over the
-    # posting list, and no materialized 8-byte combined key (the
-    # int64 cid*n_panels+pan array was ~8GB at 1B postings; the
-    # posting-scale arrays here stay int32)
-    if len(cid_s):
+        pan_s = mem_s // np.int32(panel)
         new_seg = np.empty(len(cid_s), dtype=bool)
         new_seg[0] = True
         np.not_equal(cid_s[1:], cid_s[:-1], out=new_seg[1:])
@@ -140,10 +138,28 @@ def build_panel_plan(
         seg_color = cid_s[seg_start].astype(np.int64)
         seg_panel = pan_s[seg_start]
     else:
-        seg_start = np.zeros(0, np.int64)
-        seg_count = np.zeros(0, np.int64)
-        seg_color = np.zeros(0, np.int64)
-        seg_panel = np.zeros(0, np.int32)
+        mem_s = members.astype(np.int32, copy=False)
+        total = len(mem_s)
+        pan_s = mem_s // np.int32(panel)
+        new_seg = np.empty(total, dtype=bool)
+        new_seg[0] = True
+        np.not_equal(pan_s[1:], pan_s[:-1], out=new_seg[1:])
+        bounds = offsets[1:-1]
+        new_seg[bounds[bounds < total]] = True  # color starts
+        seg_start = np.flatnonzero(new_seg)
+        seg_count = np.diff(np.append(seg_start, total))
+        seg_color_orig = np.searchsorted(offsets, seg_start, side="right") - 1
+        seg_panel = pan_s[seg_start]
+        del pan_s
+        # drop segments of degree<2 colors; remap color ids to the
+        # kept-compacted space the weight limbs are built over
+        seg_keep = degrees[seg_color_orig] >= 2
+        seg_start = seg_start[seg_keep]
+        seg_count = seg_count[seg_keep]
+        seg_panel = seg_panel[seg_keep]
+        kidx = np.zeros(len(degrees), np.int64)
+        kidx[keep] = np.arange(len(keep))
+        seg_color = kidx[seg_color_orig[seg_keep]]
 
     # per color: contiguous run of segments in `uniq` (seg_color is
     # nondecreasing, same scan trick)

@@ -63,6 +63,10 @@ class PanelPlan:
     ent_sega: np.ndarray  # per entry: segment index of the row-panel side
     ent_segb: np.ndarray  # per entry: segment index of the col-panel side
     max_weight_sum: int  # upper bound on any S entry (= sum of kept weights)
+    # (n, len(offsets), len(members)) of the source CSR — lets plan-reuse
+    # callers detect a plan built from a different index (see
+    # stream_pairwise_tsv).  Empty tuple on hand-built plans predating it.
+    src_shape: tuple = ()
 
     @property
     def n_limbs(self) -> int:
@@ -94,6 +98,7 @@ def build_panel_plan(
         pair_off=np.zeros(1, np.int64),
         ent_sega=np.zeros(0, np.int64), ent_segb=np.zeros(0, np.int64),
         max_weight_sum=0,
+        src_shape=(int(n), len(offsets), len(members)),
     )
     if len(keep) == 0 or n == 0:
         return empty
@@ -220,6 +225,7 @@ def build_panel_plan(
         ent_sega=sa_s.astype(np.int64),
         ent_segb=sb_s.astype(np.int64),
         max_weight_sum=int(kept_w.sum()),
+        src_shape=(int(n), len(offsets), len(members)),
     )
 
 
@@ -264,6 +270,7 @@ def filter_plan_rows(plan: PanelPlan, rows) -> PanelPlan:
         ent_sega=plan.ent_sega[ent_idx],
         ent_segb=plan.ent_segb[ent_idx],
         max_weight_sum=plan.max_weight_sum,
+        src_shape=plan.src_shape,
     )
 
 
@@ -1054,6 +1061,20 @@ def stream_pairwise_tsv(
         raise ValueError(
             f"prebuilt plan has panel={plan.panel}, called with panel={panel}"
         )
+    else:
+        want = (
+            int(index.num_groups),
+            len(index.color_offsets),
+            len(index.color_members),
+        )
+        if plan.n != index.num_groups or (
+            plan.src_shape and tuple(plan.src_shape) != want
+        ):
+            raise ValueError(
+                f"prebuilt plan was built from a different index: plan has "
+                f"n={plan.n}, src_shape={plan.src_shape}; index has "
+                f"(n, offsets, postings)={want}"
+            )
     counts = np.where(index.group_kmer_count < 0, 0, index.group_kmer_count)
     path = prefix + "_kSpider_pairwise.tsv"
 
@@ -1061,6 +1082,18 @@ def stream_pairwise_tsv(
     first = True
     t_tsv = 0.0
     run_stats: dict = {} if stats is None else stats
+    # same profiler hook as the full-matrix path (core/pairwise.py):
+    # KSPIDER_PROFILE=<dir> wraps the whole stream in a jax.profiler
+    # trace so the device timeline of dispatch/extract can be inspected
+    import contextlib
+
+    profile_dir = os.environ.get("KSPIDER_PROFILE")
+    if profile_dir:
+        import jax
+
+        profile_cm = jax.profiler.trace(profile_dir)
+    else:
+        profile_cm = contextlib.nullcontext()
     gen = iter_panel_pairs(
         plan, engine=engine, block=block, min_shared=min_shared, mesh=mesh,
         cache_bytes=cache_bytes, stats=run_stats,
@@ -1087,16 +1120,18 @@ def stream_pairwise_tsv(
         buf_v.clear()
         t_tsv += _time.perf_counter() - t0
 
-    for pi, pj, gi, gj, vals in gen:
-        if pi != current_row:
-            flush()
-            current_row = pi
-            if echo_progress:
-                print(f"  panel row {pi + 1}/{plan.n_panels}", flush=True)
-        buf_i.append(gi)
-        buf_j.append(gj)
-        buf_v.append(vals)
-    flush()
+    with profile_cm:
+        for pi, pj, gi, gj, vals in gen:
+            if pi != current_row:
+                flush()
+                current_row = pi
+                if echo_progress:
+                    print(f"  panel row {pi + 1}/{plan.n_panels}",
+                          flush=True)
+            buf_i.append(gi)
+            buf_j.append(gj)
+            buf_v.append(vals)
+        flush()
     if first:  # no pairs at all: still write the header
         write_pairwise_rows_coo(
             path,

@@ -713,6 +713,10 @@ int ks_build_colors(const uint64_t* hashes, const int32_t* gids,
     auto* offs = (int64_t*)malloc(sizeof(int64_t) * (n_classes + 1));
     auto* mems = (int32_t*)malloc(sizeof(int32_t) * std::max<int64_t>(1, total_members));
     auto* counts = (int64_t*)malloc(sizeof(int64_t) * std::max<int64_t>(1, n_classes));
+    if (!offs || !mems || !counts) {  // multi-GB at scale; mirror the p check
+        free(offs); free(mems); free(counts);
+        return 2;
+    }
     offs[0] = 0;
     int64_t k_out = 0;
     for (size_t g = 0; g < max_g; g++) {

@@ -358,3 +358,61 @@ def test_tiled_device_cache_sharded_exact(rng):
     s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
     assert np.array_equal(s1, s2)
     assert stats["cache_misses"] > 0
+
+
+def _midsize_index(seed=7, n=600):
+    from kspider_tpu.core.index import build_index_from_hash_sets
+
+    rng = np.random.default_rng(seed)
+    names = [f"s{i}" for i in range(n)]
+    pool = np.unique(rng.integers(0, 2**62, size=4000, dtype=np.uint64))
+    arrays = []
+    for _ in range(n):
+        take = rng.integers(20, 60)
+        arrays.append(np.unique(rng.choice(pool, size=take, replace=False)))
+    return build_index_from_hash_sets(names, arrays, ksize=21,
+                                      params="kSize:21")
+
+
+def test_stream_tsv_plan_reuse_byte_identical(tmp_path):
+    """stream_pairwise_tsv(plan=prebuilt) == plan=None, byte for byte —
+    the plan-reuse path callers hit after panel_row_work load estimation."""
+    index = _midsize_index()
+    p_auto = str(tmp_path / "auto")
+    p_reuse = str(tmp_path / "reuse")
+    n1 = tp.stream_pairwise_tsv(index, p_auto, panel=256, engine="xla",
+                                block=128)
+    plan = tp.build_panel_plan(index.color_offsets, index.color_members,
+                               index.color_counts, index.num_groups, 256)
+    n2 = tp.stream_pairwise_tsv(index, p_reuse, panel=256, engine="xla",
+                                block=128, plan=plan)
+    assert n1 == n2
+    golden = open(p_auto + "_kSpider_pairwise.tsv", "rb").read()
+    got = open(p_reuse + "_kSpider_pairwise.tsv", "rb").read()
+    assert got == golden
+
+
+def test_stream_tsv_plan_mismatch_raises(tmp_path):
+    index = _midsize_index()
+    plan = tp.build_panel_plan(index.color_offsets, index.color_members,
+                               index.color_counts, index.num_groups, 256)
+    # wrong panel
+    with pytest.raises(ValueError, match="panel=256"):
+        tp.stream_pairwise_tsv(index, str(tmp_path / "x"), panel=512,
+                               engine="xla", block=128, plan=plan)
+    # plan built from a DIFFERENT index (other sample count)
+    other = _midsize_index(seed=11, n=500)
+    plan_other = tp.build_panel_plan(
+        other.color_offsets, other.color_members, other.color_counts,
+        other.num_groups, 256)
+    with pytest.raises(ValueError, match="different index"):
+        tp.stream_pairwise_tsv(index, str(tmp_path / "y"), panel=256,
+                               engine="xla", block=128, plan=plan_other)
+    # same n but different postings (src_shape fingerprint catches it)
+    other2 = _midsize_index(seed=13, n=600)
+    plan_other2 = tp.build_panel_plan(
+        other2.color_offsets, other2.color_members, other2.color_counts,
+        other2.num_groups, 256)
+    with pytest.raises(ValueError, match="different index"):
+        tp.stream_pairwise_tsv(index, str(tmp_path / "z"), panel=256,
+                               engine="xla", block=128, plan=plan_other2)

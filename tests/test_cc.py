@@ -111,3 +111,91 @@ def test_cluster_from_index_matches_tsv_path(tmp_path, rng):
             index, prefix, cutoff, use_tpu=False, panel=16, block=64
         )
         assert open(out_fused).read() == via_tsv, cutoff
+
+
+# --- executed rustworkx-order differential (PARITY.md "component order") ---
+#
+# The reference iterates rx.connected_components(graph)
+# (/root/reference/pykSpider/kSpider2/ks_clustering.py:119,129-137).
+# rustworkx-core's connected_components scans node indices ascending and
+# BFS-es each unvisited node, yielding components ordered by smallest
+# member; each component reaches Python as a real set of ints.  The
+# replica below executes that algorithm (ascending scan + BFS, members
+# collected into a genuine CPython set in discovery order) so the PARITY
+# claim rests on running code, not a reading of rustworkx-core.
+
+
+def _rx_replica_components(n_nodes, edges):
+    from collections import deque
+
+    adj = [[] for _ in range(n_nodes)]
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    seen = [False] * n_nodes
+    comps = []
+    for s in range(n_nodes):  # ascending node scan
+        if seen[s]:
+            continue
+        seen[s] = True
+        comp = set()
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            comp.add(u)  # CPython set insertion in BFS discovery order
+            for v in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    q.append(v)
+        comps.append(comp)
+    return comps
+
+
+def test_component_order_matches_rx_replica(rng):
+    n = 800
+    e = 600  # sparse: many singletons + mid components
+    src = rng.integers(0, n, size=e).astype(np.int32)
+    dst = rng.integers(0, n, size=e).astype(np.int32)
+    labels = np.asarray(cc.connected_components(src, dst, n))
+    ours = cc.labels_to_clusters(labels)
+    theirs = _rx_replica_components(n, zip(src.tolist(), dst.tolist()))
+    assert len(ours) == len(theirs)
+    for c_ours, c_theirs in zip(ours, theirs):
+        # identical component ORDER (ascending by smallest member) and
+        # identical MEMBERSHIP; our member order is normalized ascending
+        assert set(c_ours.tolist()) == c_theirs
+        assert c_ours.tolist() == sorted(c_ours.tolist())
+
+
+def test_member_order_divergence_is_reference_accident():
+    """Adversarial shape from PARITY.md: a {5, 1_000_000} component.
+
+    Executed evidence that the reference's within-component member order
+    is an accident of CPython set hash-table geometry: in an 8-slot set,
+    1_000_000 % 8 == 0 lands before 5, so the reference would write
+    '1000000,5' while this repo writes ascending '5,1000000'.  Every
+    consumer-visible contract (membership, component order) still
+    matches the replica."""
+    comp = set()
+    comp.add(5)
+    comp.add(1_000_000)
+    assert list(comp) == [1_000_000, 5]  # CPython set order: NOT ascending
+
+    # same geometry at test-friendly scale: 10_000 % 8 == 0 also lands
+    # before 5 in an 8-slot table
+    assert list({5, 10_000}) == [10_000, 5]
+
+    # that component through our pipeline: normalized ascending
+    src = np.array([5], dtype=np.int64)
+    dst = np.array([10_000], dtype=np.int64)
+    labels = cc.connected_components_scipy(src, dst, 10_001)
+    comps = cc.labels_to_clusters(np.asarray(labels))
+    two = [c for c in comps if len(c) == 2]
+    assert len(two) == 1 and two[0].tolist() == [5, 10_000]
+
+    # and the rx replica agrees on membership + component order
+    theirs = _rx_replica_components(10_001, [(5, 10_000)])
+    assert {5, 10_000} in theirs
+    # dense small ids (the common case): CPython set order IS ascending,
+    # so reference output and ours coincide exactly there
+    assert list({2, 3, 7}) == [2, 3, 7]

@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "pairwise co-occurrence pair-updates/s", "value": N,
-   "unit": "pairs/s", "vs_baseline": R}
+   "unit": "pairs/s", "vs_baseline": R, "engine": "..."}
 
 The workload mirrors the reference's hot loop
 (/root/reference/src/pairwise.cpp:199-237): for every color c with member
@@ -11,26 +11,51 @@ counters.  "pair-updates" = sum_c C(d_c, 2) — the exact number of scalar
 hash-map updates the reference performs for the same input.  The TPU
 engine computes the same matrix as blocked int8 MXU matmuls.
 
-Measurement protocol: the posting columns are generated **on device**
-(jax PRNG) so the timing covers the kernel, not host->device transfer —
-in production the index is resident on device after one streaming
-ingestion; in this environment the chip sits behind a low-bandwidth
-tunnel that would otherwise dominate.  Correctness is still verified
-end-to-end: the generated postings are pulled back once (outside the
-timed region) and the exact same matrix recomputed with the host engine.
+Reliability protocol (round 5): the round-4 driver run timed out because
+a fresh process missed the persistent compile cache and had to
+remote-compile the Pallas kernel over the tunnel (~15 min).  The bench
+is therefore TIERED: the parent process (this file, no jax import)
+spawns each tier as a subprocess with a hard deadline and always emits
+one JSON line —
 
-``vs_baseline`` is the speedup over the best available host baseline for
-the identical input: the native C++/OpenMP engine (native/) if built,
-else the vectorized numpy engine.
+  tier 1  pallas-sym    flagship fused Pallas kernel       (deadline 340 s)
+  tier 2  xla-bitmask   plain-XLA int8 bitmask engine      (deadline 130 s)
+  tier 3  native-openmp host C++/OpenMP engine, in-process (always works)
+
+A smaller number beats no number.  The ``engine`` field says which tier
+produced the value; ``vs_baseline`` is always the speedup over the best
+host baseline for the identical input (native C++/OpenMP if built, else
+vectorized numpy), so tier 3 reports ~1.0.
+
+Env normalization: ``XLA_FLAGS`` / ``LIBTPU_INIT_ARGS`` are stripped
+from the child environment — both are hashed into JAX's persistent
+compile-cache key, so a flag leaked from the calling harness (e.g. a
+multichip dryrun's --xla_force_host_platform_device_count) would turn a
+warm cache into a cold remote compile.  ``JAX_PLATFORMS`` is left alone
+(an explicit cpu run is user intent).
+
+Timing protocol: the tunneled runtime can report async completion early
+and adds a variable ~10-20 ms dispatch+sync latency per call, so each
+tier times ONE jitted program with a *traced* iteration count and
+reports the difference quotient (t[45 iters] - t[5 iters]) / 40 — the
+fixed tunnel overhead cancels, leaving per-iteration kernel time.  Both
+walls are best-of-3 with distinct rolled inputs (defeats result
+caching); the chain ends in a scalar reduce forced to host with int().
+Posting columns are generated on device so the timed region covers the
+kernel, not H2D transfer; correctness is still verified end-to-end
+against the host engine outside the timed region.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 N_SAMPLES = 1024
 N_COLORS = 1 << 17
@@ -39,6 +64,10 @@ STRIP = 512  # row-strip height of the symmetric kernel (best measured; see
 #              pallas_pairwise.best_strip — 512 keeps full-square MXU rate
 #              while skipping the lower triangle)
 N_LIMBS = 2  # weights < 128**2
+ITERS_SMALL = 5
+ITERS_BIG = 45
+
+METRIC = "pairwise co-occurrence pair-updates/s"
 
 
 def make_degrees_and_weights(seed=42):
@@ -67,65 +96,10 @@ def make_postings(degrees, seed=0):
     return offsets, members
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-
-    from kspider_tpu.ops import pairwise as pw
-    from kspider_tpu.ops import pallas_pairwise as pp
-
-    degrees, weights = make_degrees_and_weights()
-    w_limbs = pw.weight_limbs(weights)
-    assert w_limbs.shape[1] == N_LIMBS
-    offsets, members = make_postings(degrees)
-
-    bits_t, wl_t = pp.pack_inputs(offsets, members, w_limbs, N_SAMPLES, BLOCK)
-    bits_d = jax.device_put(bits_t)
-    wl_d = jax.device_put(wl_t)
-    jax.block_until_ready((bits_d, wl_d))
-
-    # Timing protocol: the tunneled runtime can report async completion
-    # before execution finishes, so we chain ITERS kernel executions inside
-    # one jit ending in a scalar reduce and force a host sync with int().
-    # Distinct inputs per call defeat any result caching.
-    ITERS = 20
-
-    @jax.jit
-    def chained(b, wlb):
-        def body(i, tot):
-            bb = jnp.roll(b, i, axis=0)
-            a = pp.cooccurrence_pallas_sym.__wrapped__(
-                bb, wlb, BLOCK, N_SAMPLES, N_LIMBS, strip=STRIP
-            )
-            return tot + jnp.sum(a, dtype=jnp.int32)
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
-
-    int(chained(bits_d, wl_d))  # compile + warm
-    times = []
-    for k in (1, 2, 3):
-        b2 = jnp.roll(bits_d, k, axis=2)
-        t0 = time.perf_counter()
-        int(chained(b2, wl_d))
-        times.append((time.perf_counter() - t0) / ITERS)
-    t_tpu = min(times)
-
-    acc = pp.cooccurrence_pallas_sym(
-        bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS, strip=STRIP
-    )
-
-    # ---- exactness check against the host engine (outside timing) ----
-    acc_h = np.asarray(acc).astype(np.int64)
-    s_tpu = acc_h[0] + 128 * acc_h[1]
-    s_tpu = pp.mirror_upper_tiles(s_tpu, STRIP)
-    np.fill_diagonal(s_tpu, 0)
-
-    # dedupe (color, member) pairs on host: a color is a set, and the
-    # bitmask packing ORs duplicates away; mirror that for the host engine
+def dedup_postings(offsets, members):
+    """A color is a set; the bitmask packing ORs duplicate (color, member)
+    pairs away — mirror that for the host engine and the pair-update
+    count so every tier scores the identical workload."""
     flat_color = np.repeat(np.arange(N_COLORS, dtype=np.int64), np.diff(offsets))
     flat_member = members
     order = np.lexsort((flat_member, flat_color))
@@ -139,64 +113,226 @@ def main():
     )
     flat_color, flat_member = flat_color[keep], flat_member[keep]
     deg2 = np.bincount(flat_color, minlength=N_COLORS).astype(np.int64)
-    offsets = np.zeros(N_COLORS + 1, dtype=np.int64)
-    np.cumsum(deg2, out=offsets[1:])
+    offsets2 = np.zeros(N_COLORS + 1, dtype=np.int64)
+    np.cumsum(deg2, out=offsets2[1:])
     pair_updates = int((deg2 * (deg2 - 1) // 2).sum())
+    return offsets2, flat_member.astype(np.int32), pair_updates
+
+
+def host_engine():
+    """(fn, kind): best available host engine for the baseline."""
+    from kspider_tpu.ops import pairwise as pw
 
     try:
         from kspider_tpu.io import native
 
-        host_ok = native.available()
+        if native.available():
+            return native.shared_kmer_matrix, "native-openmp"
     except Exception:
-        host_ok = False
-    if host_ok:
-        host_fn = lambda: native.shared_kmer_matrix(  # noqa: E731
-            offsets, flat_member.astype(np.int32), weights, N_SAMPLES
-        )
-        host_kind = "native-openmp"
-    else:
-        host_fn = lambda: pw.shared_kmer_matrix_numpy(  # noqa: E731
-            offsets, flat_member.astype(np.int32), weights, N_SAMPLES
-        )
-        host_kind = "numpy"
+        pass
+    return pw.shared_kmer_matrix_numpy, "numpy"
+
+
+def host_matrix_and_time(offsets2, members2, weights):
+    fn, kind = host_engine()
     t_host = float("inf")
+    s_host = None
     for _ in range(3):  # best-of-3: host timing jitters under system load
         t0 = time.perf_counter()
-        s_host = host_fn()
+        s_host = fn(offsets2, members2, weights, N_SAMPLES)
         t_host = min(t_host, time.perf_counter() - t0)
+    return s_host, t_host, kind
 
-    if not np.array_equal(s_tpu, s_host):
-        print(
-            json.dumps(
-                {
-                    "metric": "pairwise co-occurrence pair-updates/s",
-                    "value": 0,
-                    "unit": "pairs/s",
-                    "vs_baseline": 0.0,
-                    "error": "TPU/host mismatch",
-                }
-            )
+
+def emit(value, vs_baseline, engine, extra=None):
+    rec = {
+        "metric": METRIC,
+        "value": round(value),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "engine": engine,
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def _measure_chained(chained, bits_d, wl_d, jnp):
+    """Difference-quotient per-iteration time of `chained(b, wl, n_iters)`.
+
+    best-of-3 at each iteration count with distinct rolled inputs; the
+    (t_big - t_small) / (big - small) quotient cancels the tunnel's
+    fixed dispatch+sync latency (~20 ms/call here — the round 1-4
+    protocol amortized it over only 20 iterations and over-reported the
+    kernel time 2.4x).  The rolled input is consumed by a scalar-sync
+    sum first: the roll is dispatched lazily and its execution would
+    otherwise bill to the first timed call (block_until_ready is not
+    trustworthy over the tunnel, a scalar D2H is).  Falls back to
+    t_big/big if the clock misbehaves (difference <= 0)."""
+    int(chained(bits_d, wl_d, 2))  # compile + warm
+    t_small = float("inf")
+    t_big = float("inf")
+    for k in (1, 2, 3):
+        b2 = jnp.roll(bits_d, k, axis=2)
+        int(jnp.sum(b2, dtype=jnp.int32))  # force the roll off the clock
+        t0 = time.perf_counter()
+        int(chained(b2, wl_d, ITERS_SMALL))
+        t_small = min(t_small, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        int(chained(b2, wl_d, ITERS_BIG))
+        t_big = min(t_big, time.perf_counter() - t0)
+    if t_big > t_small:
+        return (t_big - t_small) / (ITERS_BIG - ITERS_SMALL)
+    return t_big / ITERS_BIG
+
+
+def run_tier(tier: str) -> None:
+    """Child mode: measure one device engine, verify vs host, print JSON."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from kspider_tpu.ops import bitmask as bm
+    from kspider_tpu.ops import pairwise as pw
+    from kspider_tpu.ops import pallas_pairwise as pp
+
+    degrees, weights = make_degrees_and_weights()
+    w_limbs = pw.weight_limbs(weights)
+    assert w_limbs.shape[1] == N_LIMBS
+    offsets, members = make_postings(degrees)
+    offsets2, members2, pair_updates = dedup_postings(offsets, members)
+
+    if tier == "pallas-sym":
+        bits_t, wl_t = pp.pack_inputs(offsets, members, w_limbs, N_SAMPLES, BLOCK)
+        bits_d = jax.device_put(bits_t)
+        wl_d = jax.device_put(wl_t)
+        jax.block_until_ready((bits_d, wl_d))
+
+        @jax.jit
+        def chained(b, wlb, n_iters):
+            def body(i, tot):
+                bb = jnp.roll(b, i, axis=0)
+                a = pp.cooccurrence_pallas_sym.__wrapped__(
+                    bb, wlb, BLOCK, N_SAMPLES, N_LIMBS, strip=STRIP
+                )
+                return tot + jnp.sum(a, dtype=jnp.int32)
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.int32(0))
+
+        t_iter = _measure_chained(chained, bits_d, wl_d, jnp)
+
+        acc = pp.cooccurrence_pallas_sym(
+            bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS, strip=STRIP
         )
-        sys.exit(1)
+        acc_h = np.asarray(acc).astype(np.int64)
+        s_tpu = acc_h[0] + 128 * acc_h[1]
+        s_tpu = pp.mirror_upper_tiles(s_tpu, STRIP)
+        np.fill_diagonal(s_tpu, 0)
+    elif tier == "xla-bitmask":
+        bits = bm.pack_bitmask_blocks(offsets, members, N_SAMPLES, BLOCK)
+        nb = bits.shape[0]
+        wl = np.zeros((nb * BLOCK, N_LIMBS), dtype=np.int8)
+        wl[:N_COLORS] = w_limbs
+        wl = wl.reshape(nb, BLOCK, N_LIMBS)
+        bits_d = jax.device_put(bits)
+        wl_d = jax.device_put(wl)
+        jax.block_until_ready((bits_d, wl_d))
 
-    value = pair_updates / t_tpu
+        @jax.jit
+        def chained(b, wlb, n_iters):
+            def body(i, tot):
+                bb = jnp.roll(b, i, axis=0)
+                a = bm.cooccurrence_bitmask_blocks(
+                    bb, wlb, BLOCK, N_SAMPLES, N_LIMBS
+                )
+                return tot + jnp.sum(a, dtype=jnp.int32)
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.int32(0))
+
+        t_iter = _measure_chained(chained, bits_d, wl_d, jnp)
+
+        acc = bm.cooccurrence_bitmask_blocks(
+            bits_d, wl_d, BLOCK, N_SAMPLES, N_LIMBS
+        )
+        acc_h = np.asarray(acc).astype(np.int64)
+        s_tpu = acc_h[0] + 128 * acc_h[1]
+        np.fill_diagonal(s_tpu, 0)
+    else:
+        raise SystemExit(f"unknown tier {tier!r}")
+
+    s_host, t_host, host_kind = host_matrix_and_time(offsets2, members2, weights)
+    if not np.array_equal(s_tpu, s_host):
+        print(f"# tier {tier}: TPU/host mismatch", file=sys.stderr)
+        raise SystemExit(3)
+
+    value = pair_updates / t_iter
     baseline = pair_updates / t_host
     print(
-        f"# tpu={t_tpu * 1e3:.2f} ms/iter, host[{host_kind}]={t_host * 1e3:.1f} ms, "
-        f"pair_updates={pair_updates}, postings={len(flat_member)}",
+        f"# tier={tier} tpu={t_iter * 1e3:.2f} ms/iter, "
+        f"host[{host_kind}]={t_host * 1e3:.1f} ms, "
+        f"pair_updates={pair_updates}, postings={len(members2)}",
         file=sys.stderr,
     )
+    emit(value, value / baseline, tier)
+
+
+def main() -> None:
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("LIBTPU_INIT_ARGS", None)
+    for tier, deadline in (("pallas-sym", 340), ("xla-bitmask", 130)):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tier", tier],
+                env=env,
+                timeout=deadline,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# tier {tier}: deadline {deadline}s exceeded "
+                  "(cold compile over the tunnel?) — falling back",
+                  file=sys.stderr)
+            continue
+        for line in r.stderr.splitlines():
+            if "Platform" not in line:  # drop the axon-experimental warning
+                print(line, file=sys.stderr)
+        if r.returncode == 0:
+            last = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            try:
+                rec = json.loads(last)
+            except ValueError:
+                rec = None
+            if rec and rec.get("metric") == METRIC:
+                print(
+                    f"# tier {tier} ok in {time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+                print(last)
+                return
+        print(f"# tier {tier}: rc={r.returncode} — falling back",
+              file=sys.stderr)
+
+    # tier 3: host-only — no jax, no tunnel, always finishes
+    degrees, weights = make_degrees_and_weights()
+    offsets, members = make_postings(degrees)
+    offsets2, members2, pair_updates = dedup_postings(offsets, members)
+    _, t_host, host_kind = host_matrix_and_time(offsets2, members2, weights)
+    value = pair_updates / t_host
     print(
-        json.dumps(
-            {
-                "metric": "pairwise co-occurrence pair-updates/s",
-                "value": round(value),
-                "unit": "pairs/s",
-                "vs_baseline": round(value / baseline, 3),
-            }
-        )
+        f"# tier=host[{host_kind}] {t_host * 1e3:.1f} ms, "
+        f"pair_updates={pair_updates}",
+        file=sys.stderr,
     )
+    emit(value, 1.0, host_kind)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tier":
+        run_tier(sys.argv[2])
+    else:
+        main()

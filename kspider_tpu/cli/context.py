@@ -60,3 +60,9 @@ class HelpPriorityGroup(click.Group):
 @click.pass_context
 def cli(ctx, quiet):
     ctx.obj = Logger(quiet)
+    # every CLI process persists its XLA compiles — without this, engine
+    # programs compiled here are invisible to later processes and each
+    # fresh run repays the tunnel's minutes-long remote compile
+    from kspider_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()

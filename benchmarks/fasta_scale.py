@@ -71,7 +71,10 @@ def main():
     ap.add_argument("--min-shared", type=int, default=1)
     ap.add_argument("--keep", type=str, default=None,
                     help="keep working dir at this path (default: tmp, "
-                         "deleted)")
+                         "deleted); an existing dir with the right file "
+                         "count is reused without regeneration")
+    ap.add_argument("--sketch-only", action="store_true",
+                    help="stop after the sketch stage (thread sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -92,10 +95,21 @@ def main():
     rng = np.random.default_rng(23)
 
     t0 = time.perf_counter()
-    paths = make_genomes(fa_dir, args.files, args.glen, args.families, rng)
+    existing = sorted(
+        os.path.join(fa_dir, f) for f in os.listdir(fa_dir)
+        if f.endswith(".fa")
+    )
+    if args.keep and len(existing) == args.files:
+        paths = existing
+        gen_note = "reused"
+    else:
+        paths = make_genomes(fa_dir, args.files, args.glen, args.families,
+                             rng)
+        gen_note = "generated"
     total_bases = sum(os.path.getsize(p) for p in paths)
     print(f"dataset gen:      {time.perf_counter() - t0:8.3f}s "
-          f"({args.files} files, {total_bases / 1e6:.0f}MB)", flush=True)
+          f"({args.files} files, {total_bases / 1e6:.0f}MB, {gen_note})",
+          flush=True)
     print(f"native sketcher available: {native.available()}", flush=True)
 
     t0 = time.perf_counter()
@@ -112,6 +126,10 @@ def main():
           f"{total_kmers / t_sketch / 1e6:6.1f}M kmers hashed/s  "
           f"{args.files / t_sketch:6.1f} files/s  "
           f"(kept {total_kept} of {total_kmers})", flush=True)
+
+    if args.sketch_only:
+        print("OK (sketch-only)")
+        return
 
     names = [os.path.basename(p)[:-3] for p in paths]
     t0 = time.perf_counter()

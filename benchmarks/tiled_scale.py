@@ -93,6 +93,8 @@ def main():
     t0 = time.perf_counter()
     builder = build_index_device if args.device_build else build_index_from_hash_sets
     index = builder(names, arrays, ksize=31)
+    del arrays  # ~20 GB of per-sample hash arrays at 1M samples — the
+    #             index CSR is all downstream stages need
     t_index = time.perf_counter() - t0
     backend = "device" if args.device_build else "host"
     print(f"index build:      {t_index:8.3f}s  colors={index.num_colors} "

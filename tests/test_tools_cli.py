@@ -83,3 +83,39 @@ def test_repr_sketches(tmp_path, runner):
     assert r.exit_code == 0
     # edges with avg containment > 0.2: (1,2) and (2,3) -> degrees 2:2, 1:1, 3:1
     assert r.output.splitlines()[0] == "2: 2"
+
+
+def test_jaxcache_enable_idempotent_and_off(monkeypatch, tmp_path):
+    """enable_persistent_cache: sets the dir once, never overrides an
+    explicit config, and KSPIDER_JAX_CACHE=off disables."""
+    from kspider_tpu.utils import jaxcache
+
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setattr(jaxcache, "_done", False)
+        monkeypatch.setenv("KSPIDER_JAX_CACHE", str(tmp_path / "cc"))
+        jax.config.update("jax_compilation_cache_dir", None)
+        jaxcache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+        # second call is a no-op even with a different env
+        monkeypatch.setenv("KSPIDER_JAX_CACHE", str(tmp_path / "other"))
+        jaxcache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+
+        # explicit config wins over the env default
+        monkeypatch.setattr(jaxcache, "_done", False)
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "mine"))
+        jaxcache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "mine")
+
+        # off disables
+        monkeypatch.setattr(jaxcache, "_done", False)
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("KSPIDER_JAX_CACHE", "off")
+        jaxcache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

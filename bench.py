@@ -18,8 +18,8 @@ is therefore TIERED: the parent process (this file, no jax import)
 spawns each tier as a subprocess with a hard deadline and always emits
 one JSON line —
 
-  tier 1  pallas-sym    flagship fused Pallas kernel       (deadline 340 s)
-  tier 2  xla-bitmask   plain-XLA int8 bitmask engine      (deadline 130 s)
+  tier 1  pallas-sym    flagship fused Pallas kernel       (deadline 300 s)
+  tier 2  xla-bitmask   plain-XLA int8 bitmask engine      (deadline 120 s)
   tier 3  native-openmp host C++/OpenMP engine, in-process (always works)
 
 A smaller number beats no number.  The ``engine`` field says which tier
@@ -283,7 +283,7 @@ def main() -> None:
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("LIBTPU_INIT_ARGS", None)
-    for tier, deadline in (("pallas-sym", 340), ("xla-bitmask", 130)):
+    for tier, deadline in (("pallas-sym", 300), ("xla-bitmask", 120)):
         t0 = time.perf_counter()
         try:
             r = subprocess.run(

@@ -91,10 +91,14 @@ def main():
           f"({total_postings} postings)", flush=True)
 
     t0 = time.perf_counter()
-    builder = build_index_device if args.device_build else build_index_from_hash_sets
-    index = builder(names, arrays, ksize=31)
-    del arrays  # ~20 GB of per-sample hash arrays at 1M samples — the
-    #             index CSR is all downstream stages need
+    if args.device_build:
+        index = build_index_device(names, arrays, ksize=31)
+    else:
+        # consume=True frees each ~20 GB-total per-sample array as it is
+        # copied into the flat posting buffer (the 1M-run RAM wall)
+        index = build_index_from_hash_sets(names, arrays, ksize=31,
+                                           consume=True)
+    del arrays
     t_index = time.perf_counter() - t0
     backend = "device" if args.device_build else "host"
     print(f"index build:      {t_index:8.3f}s  colors={index.num_colors} "

@@ -132,6 +132,7 @@ def build_index_from_hash_sets(
     hash_mode: int = int(HashingMode.mumur_hasher),
     slicing_mode: int = int(SlicingMode.KMERS),
     params: str = "",
+    consume: bool = False,
 ) -> ColorIndex:
     """Build the final color index from per-sample hash arrays.
 
@@ -140,6 +141,13 @@ def build_index_from_hash_sets(
     reported per-group k-mer count (defaults to ``len(hash_arrays[g])``) —
     the reference reports the raw ``mins`` length even if it contains
     duplicates (/root/reference/src/sourmash_indexing.cpp:187).
+
+    ``consume=True`` releases each source array as soon as it is copied
+    into the flat posting buffer (``hash_arrays`` must then be a mutable
+    list; entries are set to ``None``).  At 2.5B postings the per-sample
+    arrays are ~20 GB — without consume they stay co-resident with the
+    flat copy through the whole build, which is what bounds the max N
+    on a 125 GB host (BASELINE.md, 1M-run wall #3).
     """
     n = len(names)
     if len(hash_arrays) != n:
@@ -154,16 +162,8 @@ def build_index_from_hash_sets(
             if c is not None:
                 counts[g] = c
 
-    chunks = []
-    gid_chunks = []
-    for g, arr in enumerate(hash_arrays):
-        if arr is None or len(arr) == 0:
-            continue
-        a = np.asarray(arr, dtype=np.uint64)
-        chunks.append(a)
-        gid_chunks.append(np.full(len(a), g, dtype=np.int32))
-
-    if not chunks:
+    total = int(sum(len(a) for a in hash_arrays if a is not None))
+    if total == 0:
         return ColorIndex(
             names=list(names),
             group_kmer_count=counts,
@@ -177,8 +177,23 @@ def build_index_from_hash_sets(
             params=params,
         )
 
-    hashes = np.concatenate(chunks)
-    gids = np.concatenate(gid_chunks)
+    # exact-size flat buffers; one pass copies each sample in and (with
+    # consume) immediately releases the source, so peak memory is ~one
+    # copy of the postings instead of two
+    hashes = np.empty(total, dtype=np.uint64)
+    gids = np.empty(total, dtype=np.int32)
+    pos = 0
+    for g in range(n):
+        arr = hash_arrays[g]
+        if arr is None or len(arr) == 0:
+            continue
+        m = len(arr)
+        hashes[pos : pos + m] = np.asarray(arr, dtype=np.uint64)
+        gids[pos : pos + m] = g
+        pos += m
+        if consume:
+            hash_arrays[g] = None
+    assert pos == total
 
     # native fast path for large posting sets (failure warns once or, under
     # KSPIDER_NATIVE=force, raises — see io/native.report_fallback)

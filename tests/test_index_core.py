@@ -75,3 +75,29 @@ def test_duplicate_hashes_within_sample_counted_once():
     assert cls[frozenset({0})] == 1  # hash 8
     # but reported kmer count is the raw array length (reference semantics)
     assert index.group_kmer_count[0] == 3
+
+
+def test_build_index_consume_matches_and_frees(rng):
+    """consume=True: identical index, sources released as copied."""
+    from kspider_tpu.core.index import build_index_from_hash_sets
+
+    names = [f"s{i}" for i in range(20)]
+    arrays = [
+        np.unique(rng.integers(0, 2**62, size=int(rng.integers(5, 40)),
+                               dtype=np.uint64))
+        for _ in range(20)
+    ]
+    arrays[3] = None  # registered-but-not-ingested stays supported
+    keep = [None if a is None else a.copy() for a in arrays]
+    idx_ref = build_index_from_hash_sets(names, keep, ksize=21)
+    idx_con = build_index_from_hash_sets(names, arrays, ksize=21,
+                                         consume=True)
+    assert all(a is None for a in arrays)
+    np.testing.assert_array_equal(idx_ref.color_offsets,
+                                  idx_con.color_offsets)
+    np.testing.assert_array_equal(idx_ref.color_members,
+                                  idx_con.color_members)
+    np.testing.assert_array_equal(idx_ref.color_counts,
+                                  idx_con.color_counts)
+    np.testing.assert_array_equal(idx_ref.group_kmer_count,
+                                  idx_con.group_kmer_count)

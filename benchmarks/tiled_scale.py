@@ -124,7 +124,8 @@ def main():
         index, prefix, panel=args.panel,
         engine="xla" if args.cpu else "auto",
         min_shared=args.min_shared, echo_progress=True,
-        cache_bytes=(2 << 30) if (args.use_cache and not args.no_cache) else 0,
+        cache_bytes=(2 << 30) if args.use_cache
+        else (0 if args.no_cache else None),  # None = auto (on-TPU single dev)
         plan=plan,
     )
     t_stream = time.perf_counter() - t0

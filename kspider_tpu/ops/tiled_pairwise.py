@@ -451,6 +451,13 @@ def _pack_side(off, mem_local, n_blocks: int, block: int, panel_pad: int,
     return bits
 
 
+# identity dispatch used to place cached sides on device via the same
+# lazy transfer path as engine arguments (NOT jax.device_put — see
+# iter_panel_pairs._put_device); jit caches one trivial program per
+# shape bucket
+_dev_identity = jax.jit(lambda x: x)
+
+
 def _pack_panel_side(
     plan: PanelPlan, panel_id: int, segs_slice: np.ndarray, n_blocks: int,
     block: int, panel_pad: int, transpose: bool,
@@ -514,12 +521,14 @@ class _PostingsSide(tuple):
     __slots__ = ()
 
 
-def _resolve_device_pack(engine: str, mesh, cache_budget: int) -> str:
+def _resolve_device_pack(engine: str, mesh) -> str:
     """Streamed-engine device-pack gate over ``bm.device_pack_policy``:
-    disabled for the sharded engine (sides need a mesh layout) and when
-    the device side-cache holds host-packed arrays."""
+    disabled for the sharded engine (sides need a mesh layout).  The
+    device side-cache composes with it: cacheable (reused) sides ship
+    as host-packed bits once and stay device-resident, single-use sides
+    (diagonal pairs) keep the posting-key path."""
     policy, _ = bm.device_pack_policy()
-    if engine == "sharded" or mesh is not None or cache_budget > 0:
+    if engine == "sharded" or mesh is not None:
         return "off"
     return policy
 
@@ -694,26 +703,37 @@ def iter_panel_pairs(
     sup = pw._MAX_COLORS_PER_CALL - (pw._MAX_COLORS_PER_CALL % block)
 
     cache = _DeviceSideCache(cache_bytes)
-    dp_policy = _resolve_device_pack(engine, mesh, cache_bytes)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from kspider_tpu.parallel.mesh import SHARD_AXIS
+
+        _mesh_identity = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(mesh, P(SHARD_AXIS, None, None)),
+        )
+    else:
+        _mesh_identity = _dev_identity
+    dp_policy = _resolve_device_pack(engine, mesh)
     dp_ratio = bm.device_pack_policy()[1]
     xfer = dict(bits_bytes=0, keys_bytes=0, bits_sides=0, keys_sides=0)
 
     def _put_device(host_arr):
-        """Move a packed host array to the device(s) eagerly so cache hits
-        skip both the pack and the H2D transfer."""
-        if mesh is not None:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
+        """Move a packed host array onto the device(s) so cache hits skip
+        both the pack and the H2D transfer.
 
-            from kspider_tpu.parallel.mesh import SHARD_AXIS
+        Transfer rides a jitted identity dispatch, NOT ``jax.device_put``:
+        over this environment's tunneled runtime an eager device_put of
+        large arrays is ~12x slower per byte than the lazy transfer the
+        jit dispatch path uses (420 s vs 36 s for identical bytes at 32K,
+        CLAUDE.md), which is what made the cache a net loss in round 4.
+        The identity program is trivial (one compile per shape bucket,
+        sub-second) and its output is the device-resident array."""
+        return _mesh_identity(host_arr)
 
-            return jax.device_put(
-                host_arr, NamedSharding(mesh, P(SHARD_AXIS, None, None))
-            )
-        return jax.device_put(host_arr)
-
-    def _side(panel_id, segs_slice, n_blocks, transpose):
-        if cache.budget <= 0:
+    def _side(panel_id, segs_slice, n_blocks, transpose, cacheable=True):
+        if cache.budget <= 0 or not cacheable:
             if dp_policy != "off":
                 bitmask_bytes = n_blocks * block * panel_pad // 8
                 m = int(plan.seg_count[segs_slice].sum())
@@ -747,9 +767,9 @@ def iter_panel_pairs(
         cache.put(key, arr, bits.nbytes)
         return arr
 
-    def _limbs(segs_slice, n_blocks, transpose):
+    def _limbs(segs_slice, n_blocks, transpose, cacheable=True):
         colors = plan.seg_color[segs_slice]
-        if cache.budget <= 0:
+        if cache.budget <= 0 or not cacheable:
             return _pad_limbs(plan.w_limbs[colors], n_blocks, block,
                               transpose)
         key = ("wl", _segs_digest(colors), n_blocks, transpose)
@@ -784,14 +804,23 @@ def iter_panel_pairs(
             if mesh is not None:
                 n_dev = mesh.devices.size
                 n_blocks = _cdiv(n_blocks, n_dev) * n_dev
-            bits_a = _side(pi, segs_a[cs:ce], n_blocks, engine == "pallas")
+            # diagonal pairs' sides are selected by exactly one pair —
+            # caching them would evict genuinely reused entries and
+            # forgo the posting-key transfer; off-diagonal sides (panel-
+            # spanning colors, identical selection across the row/column)
+            # are where the cache pays (BASELINE.md round-5 A/B)
+            cacheable = pi != pj
+            bits_a = _side(pi, segs_a[cs:ce], n_blocks, engine == "pallas",
+                           cacheable)
             if pi == pj:
                 bits_b = bits_a
             else:
                 bits_b = _side(
-                    pj, segs_b[cs:ce], n_blocks, engine == "pallas"
+                    pj, segs_b[cs:ce], n_blocks, engine == "pallas",
+                    cacheable,
                 )
-            wl = _limbs(segs_a[cs:ce], n_blocks, engine == "pallas")
+            wl = _limbs(segs_a[cs:ce], n_blocks, engine == "pallas",
+                        cacheable)
             chunks.append((bits_a, bits_b, wl))
         return pi, pj, chunks
 
@@ -1032,7 +1061,7 @@ def stream_pairwise_tsv(
     min_shared: int = 1,
     echo_progress: bool = False,
     mesh=None,
-    cache_bytes: int = 0,
+    cache_bytes: Optional[int] = None,
     stats: Optional[dict] = None,
     plan: Optional[PanelPlan] = None,
 ) -> int:
@@ -1047,10 +1076,24 @@ def stream_pairwise_tsv(
     :func:`build_panel_plan` result (its ``panel`` must match) — at 400K
     samples the plan scan over 1B postings costs ~2.5 min, so callers
     that already built one for load estimation must not pay it twice.
+
+    ``cache_bytes=None`` (default) auto-enables a 2 GB device-resident
+    packed-side LRU on single-accelerator runs: colors spanning many
+    panels (pangenome cores) make off-diagonal pairs re-select the same
+    sides, and caching them cut a 32K panel-spanning run 1.9-7.6x
+    (BASELINE.md round-5 A/B).  Kept off on CPU (tests) and on
+    multi-device backends (pair-parallel round-robin needs uncommitted
+    inputs); pass 0 to force off, or an explicit byte budget.
     """
     import time as _time
 
     from kspider_tpu.core.pairwise import write_pairwise_rows_coo
+
+    if cache_bytes is None:
+        cache_bytes = 0
+        if (mesh is None and jax.default_backend() != "cpu"
+                and len(jax.local_devices()) == 1):
+            cache_bytes = 2 << 30
 
     if plan is None:
         plan = build_panel_plan(
@@ -1089,8 +1132,6 @@ def stream_pairwise_tsv(
 
     profile_dir = os.environ.get("KSPIDER_PROFILE")
     if profile_dir:
-        import jax
-
         profile_cm = jax.profiler.trace(profile_dir)
     else:
         profile_cm = contextlib.nullcontext()

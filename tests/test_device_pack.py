@@ -190,13 +190,35 @@ def test_cli_device_pack_flag(tmp_path, rng):
 
 def test_policy_gates(monkeypatch):
     monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
-    assert tp._resolve_device_pack("xla", None, 0) == "force"
-    assert tp._resolve_device_pack("sharded", None, 0) == "off"
-    assert tp._resolve_device_pack("xla", object(), 0) == "off"
-    assert tp._resolve_device_pack("xla", None, 1 << 20) == "off"
+    assert tp._resolve_device_pack("xla", None) == "force"
+    assert tp._resolve_device_pack("sharded", None) == "off"
+    assert tp._resolve_device_pack("xla", object()) == "off"
     monkeypatch.setenv("KSPIDER_DEVICE_PACK", "bogus")
     with pytest.warns(RuntimeWarning):
-        assert tp._resolve_device_pack("xla", None, 0) == "auto"
+        assert tp._resolve_device_pack("xla", None) == "auto"
+
+
+def test_cache_composes_with_device_pack(rng, monkeypatch):
+    """Cache + device-pack now compose: off-diagonal (reused) sides go
+    through the device cache, diagonal (single-use) sides keep the
+    posting-key path; output stays exact."""
+    from kspider_tpu.ops import pairwise as pw
+
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
+    n = 600
+    o, m, w = random_csr(rng, 500, n, max_degree=10, max_weight=1000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=256)
+    stats = {}
+    s1 = np.zeros((n, n), dtype=np.int64)
+    for _, _, gi, gj, vals in tp.iter_panel_pairs(
+            plan, engine="xla", block=128, tile=128,
+            cache_bytes=1 << 30, stats=stats):
+        s1[gi, gj] += vals
+        s1[gj, gi] += vals
+    s2 = pw.shared_kmer_matrix_numpy(o, m, w, n)
+    assert np.array_equal(s1, s2)
+    # the cache really engaged for the off-diagonal sides
+    assert stats["cache_misses"] > 0
 
 
 def test_postings_keys_int32_overflow_guard():

@@ -890,6 +890,23 @@ def iter_panel_pairs(
             acc_dev = acc if acc_dev is None else _add(acc_dev, acc)
         return acc_dev
 
+    # The count scalar's D2H is started here, not at extract time: over
+    # the tunnel each blocking int(cnt) costs a ~20-40 ms round-trip,
+    # and at 32,896 panel pairs (1M samples) those serialized syncs were
+    # 1236 s of a 1590 s pairwise wall.  copy_to_host_async lets the
+    # 4-byte transfer ride alongside the next pairs' dispatch traffic so
+    # the later int(cnt) pops an already-landed value.
+    # KSPIDER_NO_ASYNC_COUNT disables (measurement A/B).
+    async_count = not os.environ.get("KSPIDER_NO_ASYNC_COUNT")
+
+    def _prefetch(cnt):
+        if async_count:
+            try:
+                cnt.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - exotic backend
+                pass
+        return cnt
+
     def phase_a(acc_dev, diag: bool):
         """Issue the (async) mask+count right after dispatch, so the
         sparsify compute overlaps the next pair's pack/H2D and only the
@@ -900,11 +917,11 @@ def iter_panel_pairs(
             return acc_dev
         if big_weights:
             flat_mask, cnt = _limb_mask(acc_dev, diag)
-            return ("limbs", acc_dev, flat_mask, cnt)
+            return ("limbs", acc_dev, flat_mask, _prefetch(cnt))
         flat, cnt = _combine_mask(
             acc_dev, jnp.int32(min_shared), n_limbs, diag
         )
-        return ("combine", flat, cnt)
+        return ("combine", flat, _prefetch(cnt))
 
     def _cap_bucket(count: int) -> int:
         # quarter-octave bucket: D2H payload <= 1.25x the true count,
@@ -995,10 +1012,13 @@ def iter_panel_pairs(
         return out, _time.perf_counter() - t0
 
     n_pairs = len(plan.pair_keys)
-    # >=2-deep window even on one device: pair p's sized D2H overlaps
-    # pair p+1's H2D+MXU (round 3 ran depth 1 single-device, serializing
-    # extract behind dispatch)
-    inflight = 2 if devices is None else max(2, len(devices))
+    # >=4-deep window even on one device: pair p's sized D2H overlaps
+    # later pairs' H2D+MXU (round 3 ran depth 1, serializing extract
+    # behind dispatch), and the async count prefetch needs more than one
+    # pair-time of slack to beat the tunnel's ~20-40 ms scalar RTT.
+    # HBM cost: one flat panel_pad^2 i32 tile per pending pair (~64 MB
+    # at panel 4096), trivial against 16 GB.
+    inflight = 4 if devices is None else max(2, len(devices))
     pending = deque()  # (pi, pj, phase-A handle), oldest first
     ex = ThreadPoolExecutor(max_workers=1)
     try:

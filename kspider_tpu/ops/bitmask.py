@@ -121,6 +121,54 @@ def build_scatter_keys(
     return out
 
 
+def delta_encode_keys(keys: np.ndarray, count: int):
+    """Bucket-padded i32 scatter keys -> (first, i16 deltas) or None.
+
+    Keys are strictly increasing (scatter invariant), so consecutive
+    deltas are >= 1 and — for the dense diagonal sides that dominate the
+    posting-key payload at scale — almost always fit int16, halving the
+    H2D bytes (the 1M run ships 6.4 GB of diagonal keys; see
+    BASELINE.md).  Returns None when any delta exceeds int16 (sparse
+    selections with large color gaps) — callers ship raw i32 keys.
+    Deltas are defined so ``decoded[i] = first + cumsum(d)[i]`` with
+    ``d[0] = 0``; positions past ``count`` are don't-care (the device
+    decoder masks them to ascending out-of-range sentinels).
+    """
+    if count <= 0:
+        return None
+    real = keys[:count].astype(np.int64)
+    d = np.diff(real)
+    if len(d) and d.max() > 32767:
+        return None
+    out = np.ones(len(keys), dtype=np.int16)
+    out[0] = 0
+    out[1:count] = d.astype(np.int16)
+    return int(real[0]), out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "block", "panel_pad", "transpose")
+)
+def scatter_pack_device_delta(
+    first, deltas, count, n_blocks: int, block: int, panel_pad: int,
+    transpose: bool,
+):
+    """``scatter_pack_device`` over delta-compressed keys.
+
+    Decodes ``first + cumsum(int16 deltas)`` on device (one VPU cumsum),
+    masks positions >= count to ascending out-of-range sentinels (keeps
+    the scatter's sorted/unique hints valid, pad drops via mode='drop'),
+    and reuses the scatter+byte-pack body.  Bit-exact with the raw-key
+    path; 2 bytes per posting cross the link instead of 4."""
+    total = n_blocks * block * panel_pad
+    k = jnp.int32(first) + jnp.cumsum(deltas.astype(jnp.int32))
+    iota = jnp.arange(k.shape[0], dtype=jnp.int32)
+    k = jnp.where(iota < count, k, jnp.int32(total) + (iota - count))
+    return scatter_pack_device.__wrapped__(
+        k, n_blocks, block, panel_pad, transpose
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "block", "panel_pad", "transpose")
 )

@@ -516,7 +516,10 @@ def _block_bucket(nb: int) -> int:
 class _PostingsSide(tuple):
     """Marker wrapper: a panel side shipped as sorted posting keys for
     on-device packing (ops/bitmask.scatter_pack_device) instead of a
-    host-packed bitmask.  Fields: (keys i32[bucket], n_blocks)."""
+    host-packed bitmask.  Fields: (payload, n_blocks) where payload is
+    either raw keys i32[bucket] or the delta-compressed form
+    ("d16", first, i16 deltas, count) — 2 bytes per posting across H2D
+    (bm.delta_encode_keys / scatter_pack_device_delta)."""
 
     __slots__ = ()
 
@@ -744,6 +747,14 @@ def iter_panel_pairs(
                         block,
                     )
                     if keys is not None:
+                        enc = bm.delta_encode_keys(keys, m)
+                        if enc is not None:
+                            first, d16 = enc
+                            xfer["keys_bytes"] += d16.nbytes + 8
+                            xfer["keys_sides"] += 1
+                            return _PostingsSide(
+                                (("d16", first, d16, m), n_blocks)
+                            )
                         xfer["keys_bytes"] += keys.nbytes
                         xfer["keys_sides"] += 1
                         return _PostingsSide((keys, n_blocks))
@@ -828,17 +839,25 @@ def iter_panel_pairs(
         # posting-key sides materialize here — i.e. on the dispatch
         # thread, under the pair-parallel placement context, with the
         # small key array crossing H2D instead of the packed bitmask
-        if isinstance(bits_a, _PostingsSide):
-            mat_a = bm.scatter_pack_device(
-                bits_a[0], bits_a[1], block, panel_pad, engine == "pallas"
+        def _materialize(side):
+            payload, nb_ = side[0], side[1]
+            if isinstance(payload, tuple) and payload[0] == "d16":
+                _, first, d16, count = payload
+                return bm.scatter_pack_device_delta(
+                    np.int32(first), d16, np.int32(count), nb_, block,
+                    panel_pad, engine == "pallas",
+                )
+            return bm.scatter_pack_device(
+                payload, nb_, block, panel_pad, engine == "pallas"
             )
+
+        if isinstance(bits_a, _PostingsSide):
+            mat_a = _materialize(bits_a)
             if bits_b is bits_a:
                 bits_b = mat_a
             bits_a = mat_a
         if isinstance(bits_b, _PostingsSide):
-            bits_b = bm.scatter_pack_device(
-                bits_b[0], bits_b[1], block, panel_pad, engine == "pallas"
-            )
+            bits_b = _materialize(bits_b)
         if engine == "pallas" and diag and panel_pad // tile > 1:
             # symmetric panel: enumerate only the ti <= tj output tiles
             # (~44% fewer MXU passes at 8 tiles/panel).  Strictly-lower

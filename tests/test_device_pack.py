@@ -236,3 +236,44 @@ def test_postings_keys_int32_overflow_guard():
     assert tp._postings_keys(
         plan, 0, np.array([0]), panel_pad=2**20, n_blocks=2**10, block=2**10
     ) is None
+
+
+def test_delta_keys_bit_exact(rng):
+    """Delta-compressed keys decode to the identical packed bitmask."""
+    import jax.numpy as jnp
+
+    n_blocks, block, n_pad = 2, 64, 256
+    total = n_blocks * block * n_pad
+    m = 700
+    keys = np.sort(rng.choice(total, size=m, replace=False)).astype(np.int32)
+    bucket = bm.key_bucket(m)
+    padded = np.empty(bucket, np.int32)
+    padded[:m] = keys
+    padded[m:] = total + np.arange(bucket - m, dtype=np.int32)
+
+    ref = np.asarray(bm.scatter_pack_device(padded, n_blocks, block,
+                                            n_pad, False))
+    enc = bm.delta_encode_keys(padded, m)
+    assert enc is not None
+    first, d16 = enc
+    assert d16.dtype == np.int16 and len(d16) == bucket
+    got = np.asarray(bm.scatter_pack_device_delta(
+        np.int32(first), jnp.asarray(d16), np.int32(m), n_blocks, block,
+        n_pad, False))
+    assert np.array_equal(got, ref)
+    # transposed Pallas layout too
+    ref_t = np.asarray(bm.scatter_pack_device(padded, n_blocks, block,
+                                              n_pad, True))
+    got_t = np.asarray(bm.scatter_pack_device_delta(
+        np.int32(first), jnp.asarray(d16), np.int32(m), n_blocks, block,
+        n_pad, True))
+    assert np.array_equal(got_t, ref_t)
+
+
+def test_delta_keys_fallback_on_big_gap():
+    keys = np.array([0, 40000, 40001, 40002], np.int32)  # gap > int16
+    assert bm.delta_encode_keys(keys, 4) is None
+    assert bm.delta_encode_keys(keys, 0) is None
+    # small gaps qualify
+    ok = bm.delta_encode_keys(np.array([5, 6, 32773], np.int32), 3)
+    assert ok is not None and ok[0] == 5

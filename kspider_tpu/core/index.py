@@ -179,21 +179,57 @@ def build_index_from_hash_sets(
 
     # exact-size flat buffers; one pass copies each sample in and (with
     # consume) immediately releases the source, so peak memory is ~one
-    # copy of the postings instead of two
+    # copy of the postings instead of two.  At >=1M postings the copy
+    # sweep runs in native OpenMP (ks_fill_postings) — the per-sample
+    # numpy slice-assignment loop is ~19 s of pure dispatch overhead at
+    # 328M postings (BASELINE.md round-5 phase split).
     hashes = np.empty(total, dtype=np.uint64)
     gids = np.empty(total, dtype=np.int32)
-    pos = 0
-    for g in range(n):
-        arr = hash_arrays[g]
-        if arr is None or len(arr) == 0:
-            continue
-        m = len(arr)
-        hashes[pos : pos + m] = np.asarray(arr, dtype=np.uint64)
-        gids[pos : pos + m] = g
-        pos += m
-        if consume:
-            hash_arrays[g] = None
-    assert pos == total
+    native_fill = None
+    if total >= 1_000_000:
+        from kspider_tpu.io import native as _native
+
+        if _native.enabled() and _native.available():
+            native_fill = _native
+    if native_fill is not None:
+        entries = []
+        pos = 0
+        for g in range(n):
+            arr = hash_arrays[g]
+            if arr is None or len(arr) == 0:
+                continue
+            a = arr
+            if not (isinstance(a, np.ndarray) and a.dtype == np.uint64
+                    and a.flags["C_CONTIGUOUS"]):
+                a = np.ascontiguousarray(a, dtype=np.uint64)
+            entries.append((g, a, pos))
+            pos += len(a)
+        assert pos == total
+        try:
+            native_fill.fill_postings(entries, hashes, gids)
+            if consume:
+                for g, _, _ in entries:
+                    hash_arrays[g] = None
+            entries = None
+        except native_fill.NativeRequiredError:
+            raise
+        except Exception as exc:
+            native_fill.report_fallback("fill_postings", exc)
+            native_fill = None
+            entries = None
+    if native_fill is None:
+        pos = 0
+        for g in range(n):
+            arr = hash_arrays[g]
+            if arr is None or len(arr) == 0:
+                continue
+            m = len(arr)
+            hashes[pos : pos + m] = np.asarray(arr, dtype=np.uint64)
+            gids[pos : pos + m] = g
+            pos += m
+            if consume:
+                hash_arrays[g] = None
+        assert pos == total
 
     # native fast path for large posting sets (failure warns once or, under
     # KSPIDER_NATIVE=force, raises — see io/native.report_fallback)

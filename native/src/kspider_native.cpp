@@ -29,7 +29,7 @@ extern "C" {
 
 // Bumped whenever an exported signature changes; io/native.py checks it
 // and rebuilds a stale .so instead of calling with a mismatched ABI.
-int ks_abi_version() { return 3; }
+int ks_abi_version() { return 4; }
 
 // ---------------------------------------------------------------------------
 // memory
@@ -466,6 +466,26 @@ void ks_pack_segments(const int32_t* mem_s, const int64_t* seg_start,
             }
         }
     }
+}
+
+// Parallel flat-posting fill: copy per-sample hash arrays into the
+// contiguous (hashes, gids) buffers the color build consumes.  The
+// Python per-sample loop costs ~19 s at 328M postings (numpy slice
+// dispatch per sample); this is a bandwidth-bound memcpy sweep.
+int ks_fill_postings(const uint64_t* const* srcs, const int64_t* lens,
+                     const int32_t* gids, const int64_t* offs,
+                     int64_t n_arrays, uint64_t* hashes_out,
+                     int32_t* gids_out) {
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n_arrays; i++) {
+        const int64_t m = lens[i];
+        if (m <= 0) continue;
+        memcpy(hashes_out + offs[i], srcs[i], (size_t)m * sizeof(uint64_t));
+        const int32_t g = gids[i];
+        int32_t* gp = gids_out + offs[i];
+        for (int64_t k = 0; k < m; k++) gp[k] = g;
+    }
+    return 0;
 }
 
 }  // extern "C"

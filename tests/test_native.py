@@ -154,3 +154,40 @@ def test_off_mode_disables_native(monkeypatch):
     assert not native.available()
     monkeypatch.setenv("KSPIDER_NATIVE", "auto")
     assert native.enabled()
+
+
+def test_fill_postings_matches_python_loop(rng):
+    from kspider_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    n_samples = 50
+    arrays = [
+        np.unique(rng.integers(0, 2**62, size=int(rng.integers(0, 30)),
+                               dtype=np.uint64))
+        for _ in range(n_samples)
+    ]
+    arrays[7] = None
+    total = sum(len(a) for a in arrays if a is not None)
+    # python reference
+    h_ref = np.empty(total, np.uint64)
+    g_ref = np.empty(total, np.int32)
+    pos = 0
+    entries = []
+    for g, a in enumerate(arrays):
+        if a is None or len(a) == 0:
+            continue
+        m = len(a)
+        h_ref[pos:pos + m] = a
+        g_ref[pos:pos + m] = g
+        entries.append((g, a, pos))
+        pos += m
+    h_got = np.empty(total, np.uint64)
+    g_got = np.empty(total, np.int32)
+    native.fill_postings(entries, h_got, g_got)
+    assert np.array_equal(h_got, h_ref)
+    assert np.array_equal(g_got, g_ref)
+    # empty entry list is a no-op
+    native.fill_postings([], h_got[:0], g_got[:0])

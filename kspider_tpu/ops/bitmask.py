@@ -146,6 +146,86 @@ def delta_encode_keys(keys: np.ndarray, count: int):
     return int(real[0]), out
 
 
+def delta_encode_keys_u8(keys: np.ndarray, count: int):
+    """Bucket-padded i32 scatter keys -> (first, u8 deltas, i32
+    exceptions) or None.
+
+    One byte per posting: literal delta values 1..255; 0 escapes to the
+    next entry of the exception array (deltas are >= 1, so 0 is free as
+    a marker).  Dense diagonal selections average delta ~5, so
+    exceptions are vanishingly rare and the payload is ~1 B/posting —
+    half of ``delta_encode_keys``'s int16 form.  Position 0 carries a
+    dummy (the decoder forces d[0] = 0); the exception array is padded
+    to a small power-of-two bucket to bound compile shapes."""
+    if count <= 0:
+        return None
+    real = keys[:count].astype(np.int64)
+    d = np.diff(real)
+    esc = d > 255
+    n_exc = int(esc.sum())
+    bucket = len(keys)
+    d8 = np.ones(bucket, dtype=np.uint8)
+    if count > 1:
+        d8[1:count] = np.where(esc, 0, np.minimum(d, 255)).astype(np.uint8)
+    exc_bucket = max(8, 1 << (max(n_exc, 1) - 1).bit_length())
+    exc = np.zeros(exc_bucket, np.int32)
+    exc[:n_exc] = d[esc].astype(np.int32)
+    return int(real[0]), d8, exc
+
+
+def encode_keys_best(keys: np.ndarray, count: int):
+    """Pick the smallest wire form for a padded key array.
+
+    Returns ("d8", first, u8 deltas, i32 exceptions),
+    ("d16", first, i16 deltas), or None (ship raw i32 keys)."""
+    if count <= 0:
+        return None
+    bucket = len(keys)
+    e8 = delta_encode_keys_u8(keys, count)
+    bytes_d8 = bucket + 4 * len(e8[2]) if e8 else None
+    e16 = delta_encode_keys(keys, count)
+    bytes_d16 = 2 * bucket if e16 else None
+    best = min(
+        [(b, t) for b, t in ((bytes_d8, "d8"), (bytes_d16, "d16"))
+         if b is not None and b < 4 * bucket],
+        default=None,
+    )
+    if best is None:
+        return None
+    if best[1] == "d8":
+        return ("d8",) + e8
+    return ("d16",) + e16
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "block", "panel_pad", "transpose")
+)
+def scatter_pack_device_delta8(
+    first, d8, exceptions, count, n_blocks: int, block: int,
+    panel_pad: int, transpose: bool,
+):
+    """``scatter_pack_device`` over u8-delta keys with an escape channel.
+
+    Decode: 0 entries substitute the next exception (running cumsum of
+    the escape mask indexes the exception array), position 0 is forced
+    to delta 0, then one cumsum rebuilds the keys; tail positions mask
+    to ascending out-of-range sentinels.  Bit-exact with the raw path;
+    ~1 byte per posting crosses the link."""
+    total = n_blocks * block * panel_pad
+    di = d8.astype(jnp.int32)
+    is_esc = di == 0
+    eidx = jnp.cumsum(is_esc.astype(jnp.int32)) - 1
+    sub = exceptions[jnp.clip(eidx, 0, exceptions.shape[0] - 1)]
+    d = jnp.where(is_esc, sub, di)
+    iota = jnp.arange(d.shape[0], dtype=jnp.int32)
+    d = jnp.where(iota == 0, 0, d)
+    k = jnp.int32(first) + jnp.cumsum(d)
+    k = jnp.where(iota < count, k, jnp.int32(total) + (iota - count))
+    return scatter_pack_device.__wrapped__(
+        k, n_blocks, block, panel_pad, transpose
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "block", "panel_pad", "transpose")
 )

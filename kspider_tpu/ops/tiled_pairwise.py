@@ -747,14 +747,15 @@ def iter_panel_pairs(
                         block,
                     )
                     if keys is not None:
-                        enc = bm.delta_encode_keys(keys, m)
+                        enc = bm.encode_keys_best(keys, m)
                         if enc is not None:
-                            first, d16 = enc
-                            xfer["keys_bytes"] += d16.nbytes + 8
-                            xfer["keys_sides"] += 1
-                            return _PostingsSide(
-                                (("d16", first, d16, m), n_blocks)
+                            payload = enc + (m,)
+                            xfer["keys_bytes"] += 8 + sum(
+                                a.nbytes for a in enc[2:]
+                                if isinstance(a, np.ndarray)
                             )
+                            xfer["keys_sides"] += 1
+                            return _PostingsSide((payload, n_blocks))
                         xfer["keys_bytes"] += keys.nbytes
                         xfer["keys_sides"] += 1
                         return _PostingsSide((keys, n_blocks))
@@ -841,6 +842,12 @@ def iter_panel_pairs(
         # small key array crossing H2D instead of the packed bitmask
         def _materialize(side):
             payload, nb_ = side[0], side[1]
+            if isinstance(payload, tuple) and payload[0] == "d8":
+                _, first, d8, exc, count = payload
+                return bm.scatter_pack_device_delta8(
+                    np.int32(first), d8, exc, np.int32(count), nb_,
+                    block, panel_pad, engine == "pallas",
+                )
             if isinstance(payload, tuple) and payload[0] == "d16":
                 _, first, d16, count = payload
                 return bm.scatter_pack_device_delta(

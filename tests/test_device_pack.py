@@ -277,3 +277,69 @@ def test_delta_keys_fallback_on_big_gap():
     # small gaps qualify
     ok = bm.delta_encode_keys(np.array([5, 6, 32773], np.int32), 3)
     assert ok is not None and ok[0] == 5
+
+
+def test_delta8_keys_bit_exact_with_escapes(rng):
+    """u8-delta keys (escape channel for >255 gaps) decode to the
+    identical packed bitmask, including mixed escape/literal runs."""
+    import jax.numpy as jnp
+
+    n_blocks, block, n_pad = 2, 64, 512
+    total = n_blocks * block * n_pad
+    # construct keys with small runs separated by big gaps (escapes)
+    parts = []
+    base = 0
+    for _ in range(40):
+        run = np.cumsum(rng.integers(1, 200, size=20))
+        parts.append(base + run)
+        base = int(parts[-1][-1]) + int(rng.integers(300, 2000))
+        if base >= total - 5000:
+            break
+    keys = np.concatenate(parts).astype(np.int32)
+    m = len(keys)
+    bucket = bm.key_bucket(m)
+    padded = np.empty(bucket, np.int32)
+    padded[:m] = keys
+    padded[m:] = total + np.arange(bucket - m, dtype=np.int32)
+
+    ref = np.asarray(bm.scatter_pack_device(padded, n_blocks, block,
+                                            n_pad, False))
+    enc = bm.delta_encode_keys_u8(padded, m)
+    assert enc is not None
+    first, d8, exc = enc
+    assert d8.dtype == np.uint8 and (exc > 255).all() or len(exc)
+    for transpose in (False, True):
+        ref_t = np.asarray(bm.scatter_pack_device(
+            padded, n_blocks, block, n_pad, transpose))
+        got = np.asarray(bm.scatter_pack_device_delta8(
+            np.int32(first), jnp.asarray(d8), jnp.asarray(exc),
+            np.int32(m), n_blocks, block, n_pad, transpose))
+        assert np.array_equal(got, ref_t)
+
+
+def test_encode_keys_best_selection():
+    # dense small deltas -> d8 wins
+    k = np.arange(5, 1000, 3, dtype=np.int32)
+    pad = np.concatenate([k, 10**6 + np.arange(200, dtype=np.int32)])
+    enc = bm.encode_keys_best(pad, len(k))
+    assert enc is not None and enc[0] == "d8"
+    # gaps >32767 everywhere -> d8 with many escapes may still beat raw,
+    # but d16 must be skipped
+    k2 = np.arange(10, dtype=np.int32) * 40000
+    pad2 = np.concatenate([k2, 10**6 + np.arange(6, dtype=np.int32)])
+    enc2 = bm.encode_keys_best(pad2, len(k2))
+    assert enc2 is None or enc2[0] == "d8"
+    assert bm.encode_keys_best(pad2, 0) is None
+
+
+def test_tiled_stream_exact_with_delta8_escapes(rng, monkeypatch):
+    """End-to-end streamed output stays exact when sides mix literal and
+    escape deltas (sparse colors spread across a wide panel)."""
+    monkeypatch.setenv("KSPIDER_DEVICE_PACK", "force")
+    n = 1600
+    o, m, w = random_csr(rng, 300, n, max_degree=5, max_weight=1000)
+    plan = tp.build_panel_plan(o, m, w, n, panel=512)
+    s = assemble(
+        tp.iter_panel_pairs(plan, engine="xla", block=64, tile=128), n
+    )
+    assert np.array_equal(s, pw.shared_kmer_matrix_numpy(o, m, w, n))

@@ -183,6 +183,20 @@ def build_index_from_hash_sets(
     # sweep runs in native OpenMP (ks_fill_postings) — the per-sample
     # numpy slice-assignment loop is ~19 s of pure dispatch overhead at
     # 328M postings (BASELINE.md round-5 phase split).
+    if total >= 100_000_000:
+        # Return accumulated heap fragments to the OS before the
+        # multi-GB allocations below: a preamble that churned millions
+        # of small arrays (e.g. per-sample sketch merges) leaves the
+        # glibc arenas in a state that degrades the whole build ~25%
+        # (measured at 2.57B postings: 577-711 s without, 466.8 s with;
+        # BASELINE.md round-5 allocator-state section).  glibc-only,
+        # best-effort.
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
     hashes = np.empty(total, dtype=np.uint64)
     gids = np.empty(total, dtype=np.int32)
     native_fill = None
